@@ -1,0 +1,320 @@
+"""Configuration for the PHNet-TPU framework.
+
+The reference (CZY-Code/PHNet) uses executable python option files loaded through
+an mmcv-style ``Config.fromfile`` (reference ``libs/utils/config.py``,
+``options/optionsV3.py``, ``options/options4OL.py``, ``options/options4OLV3.py``).
+We replace that with plain frozen dataclasses: every knob of the reference's
+active option files maps onto a field here, and the two dataset presets
+(:func:`vil100_config`, :func:`openlane_config`) reproduce the reference's
+active configurations.
+
+Design note (TPU-first): all quantities that shape traced computations
+(``num_priors``, ``n_offsets``, ``max_lanes``, ``memory_window`` …) are static
+python ints living in hashable frozen dataclasses, so they can be closed over
+by ``jax.jit`` without retracing hazards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class LaneSpec:
+    """Layout of the per-anchor lane vector.
+
+    The reference uses two layouts:
+
+    * VIL-100 (``RouterV4.py:172-214``, ``transformV4.py:183-216``):
+      ``[2 cls, start_y, start_x, theta, valid_len, invalid_len, n_offsets xs]``
+    * OpenLane-V (``Router4OL.py:153-168``, ``openlane/transforms.py:251-305``):
+      ``[2 cls, start_y, start_x, theta, length, n_offsets xs]``
+
+    We unify them: 5 fixed header fields + ``n_lengths`` length fields +
+    ``n_offsets`` sample-row x coordinates.
+    """
+
+    n_offsets: int = 36
+    n_lengths: int = 2  # 2 = VIL (valid+invalid), 1 = OpenLane
+
+    @property
+    def n_strips(self) -> int:
+        return self.n_offsets - 1
+
+    @property
+    def header_dim(self) -> int:
+        # 2 cls logits + start_y + start_x + theta + lengths
+        return 5 + self.n_lengths
+
+    @property
+    def dim(self) -> int:
+        return self.header_dim + self.n_offsets
+
+    # Column indices -------------------------------------------------------
+    @property
+    def col_start_y(self) -> int:
+        return 2
+
+    @property
+    def col_start_x(self) -> int:
+        return 3
+
+    @property
+    def col_theta(self) -> int:
+        return 4
+
+    @property
+    def col_length(self) -> int:
+        """Valid length (VIL) / length (OL)."""
+        return 5
+
+    @property
+    def col_invalid_length(self) -> Optional[int]:
+        return 6 if self.n_lengths == 2 else None
+
+    @property
+    def col_xs(self) -> int:
+        return self.header_dim
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    """ResNet backbone (reference ``libs/models/resnet.py:148-319``)."""
+
+    depth: int = 18
+    in_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    norm: str = "batch"  # "batch" (SyncBN via axis_name) or "group"
+    # which of the four stage outputs feed the neck; the reference FPN drops
+    # leading levels when given fewer in_channels (fpn.py:113-116)
+    out_indices: Tuple[int, ...] = (1, 2, 3)
+
+
+@dataclass(frozen=True)
+class NeckConfig:
+    """FPN neck (reference ``libs/models/fpn.py``, ``options*.py`` ``neck=``)."""
+
+    in_channels: Tuple[int, ...] = (128, 256, 512)
+    out_channels: int = 64
+    num_outs: int = 3
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    """Dual-branch anchor head (reference ``RouterV4.py:34-133`` /
+    ``Router4OL.py:33-120``)."""
+
+    num_priors: int = 240
+    sample_points: int = 36
+    refine_layers: int = 3
+    fc_hidden_dim: int = 64
+    num_fc: int = 2
+    prior_feat_channels: int = 64
+    # second branch transformer (RouterV4.py:103-109)
+    decoder_layers: int = 2
+    decoder_heads: int = 8
+    decoder_ffn_dim: int = 256
+    decoder_dropout: float = 0.1
+    # positional encoding for the second branch: "sine" (VIL,
+    # RouterV4.py:110-111) or "learned" (OL, Router4OL.py:110)
+    pos_encoding: str = "sine"
+    pos_temperature: float = 16.0
+    pos_normalize: bool = True
+    # OL predicts offsets with a separate per-offset head (Router4OL.py:78-83);
+    # VIL folds them into the reg head output (RouterV4.py:80)
+    separate_offset_head: bool = False
+    # router (Router.py:39-81)
+    router_reduction: int = 4
+    router_blocks: int = 4
+    # DynamicConv (dynamic_head.py:6-59)
+    dyn_dim_factor: int = 2  # dim_dynamic = inplanes * factor
+    dyn_param_reduction: int = 8  # hidden of the weight-generator MLPs
+    dyn_out_expand: int = 6  # out_layer hidden = hidden_dim * expand
+
+
+@dataclass(frozen=True)
+class TestParams:
+    """Inference thresholds (reference ``options*.py`` ``test_parameters``)."""
+
+    conf_threshold: float = 0.6
+    nms_thres: float = 50.0
+    nms_topk: int = 8
+
+
+@dataclass(frozen=True)
+class MemoryConfig:
+    """Temporal memory of positive-lane features.
+
+    The reference keeps, per frame and per refine stage, the features of
+    matched/kept anchors plus one mean-negative feature
+    (``RouterV4.py:517-538``). VIL keeps every past frame
+    (``RouterV4.py:504-510``); OL keeps a bounded window of
+    ``save_freq_max`` frames (``Router4OL.py:555-556``).
+
+    TPU-native design: a fixed-shape ring buffer
+    ``[stages, window, max_lanes + 1, 2*hidden]`` with a validity mask,
+    carried through ``lax.scan``. ``window <= 0`` means "unbounded": the
+    caller sizes the buffer to the clip length.
+    """
+
+    window: int = 5  # <=0: sized to clip length (VIL behaviour)
+    slots_per_frame: int = 9  # max_lanes + 1 (mean negative)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    img_h: int = 384
+    img_w: int = 768
+    lane: LaneSpec = field(default_factory=LaneSpec)
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    neck: NeckConfig = field(default_factory=NeckConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    memory: MemoryConfig = field(default_factory=MemoryConfig)
+    test: TestParams = field(default_factory=TestParams)
+    max_lanes: int = 8
+    # inference routing: "hard" = where(diff>=0.5, sec, fir) (RouterV4.py:500),
+    # "soft" = diff*sec + (1-diff)*fir (Router4OL.py:541)
+    routing: str = "hard"
+    # original-image geometry used when decoding to full-resolution lanes
+    cut_scale: float = 0.35  # VIL: crop top cut_scale*H (dataV3.py:154)
+    crop_size: int = 0  # OL: fixed 480 px sky crop (datasetOL.py:47-58)
+    org_size: Optional[Tuple[int, int]] = None  # OL fixed (1280, 1920)
+    # compute dtype for backbone/head matmuls ("bfloat16" or "float32")
+    compute_dtype: str = "float32"
+
+    @property
+    def n_offsets(self) -> int:
+        return self.lane.n_offsets
+
+    @property
+    def n_strips(self) -> int:
+        return self.lane.n_strips
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Criterion weights (reference ``optionsV3.py:108-110``,
+    ``options4OL.py:64-66``, ``lossV5.py:71-207``, ``loss4OLV3.py:12-123``)."""
+
+    cls_weight: float = 2.5
+    reg_weight: float = 0.5
+    iou_weight: float = 2.0
+    focal_alpha: Tuple[float, float] = (0.5, 0.5)
+    focal_gamma: float = 2.0
+    iou_length: float = 15.0  # +/- band in px (dynamic_assign.py:5)
+    # "blend_all" = VIL: router blends full per-anchor loss (lossV5.py:194-208)
+    # "blend_cls" = OL: router blends cls loss only; reg/iou of both branches
+    #               are summed (loss4OLV3.py:104-123)
+    style: str = "blend_all"
+    # OL uses the CLRerNet width-adaptive LaneIoULoss (loss4OLV3.py:28)
+    use_lane_iou: bool = False
+    lane_iou_width: float = 7.5 / 768.0
+    assigner: str = "hungarian"  # "hungarian" (parity) or "dynamic_k" (fast)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 50
+    train_batch: int = 1
+    sampled_frames: int = 16
+    learning_rate: float = 5e-4
+    solver: str = "adamw"  # "sgd" | "adamw"
+    momentum: Tuple[float, float] = (0.9, 0.999)
+    weight_decay: float = 1e-3
+    max_skip: int = 5
+    skip_increment: int = 5
+    max_training_skip: int = 100
+    epochs_per_increment: int = 2
+    samples_per_video: int = 2
+    epoch_per_test: int = 5
+    seed: int = 3407
+    grad_clip_norm: float = 0.0  # 0 = off (reference has it commented out)
+    checkpoint_dir: str = "models"
+    loss: LossConfig = field(default_factory=LossConfig)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    root: str = "./dataset"
+    dataset: str = "VIL100"
+    img_h: int = 384
+    img_w: int = 768
+    cut_scale: float = 0.35
+    crop_size: int = 0
+    max_lanes: int = 8
+    normalize_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    normalize_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+
+def vil100_config(**overrides) -> Config:
+    """Active VIL-100 configuration (reference ``options/optionsV3.py``)."""
+    model = ModelConfig(
+        lane=LaneSpec(n_offsets=36, n_lengths=2),
+        backbone=BackboneConfig(),
+        neck=NeckConfig(in_channels=(128, 256, 512), out_channels=64, num_outs=3),
+        head=HeadConfig(pos_encoding="sine", separate_offset_head=False),
+        memory=MemoryConfig(window=0, slots_per_frame=9),  # unbounded (VIL)
+        test=TestParams(conf_threshold=0.6, nms_thres=50.0, nms_topk=8),
+        max_lanes=8,
+        routing="hard",
+        cut_scale=0.35,
+    )
+    train = TrainConfig(
+        epochs=50,
+        learning_rate=5e-4,
+        weight_decay=1e-3,
+        epochs_per_increment=2,
+        loss=LossConfig(
+            cls_weight=2.5, reg_weight=0.5, iou_weight=2.0,
+            focal_alpha=(0.5, 0.5), style="blend_all",
+        ),
+    )
+    data = DataConfig(dataset="VIL100", cut_scale=0.35, max_lanes=8)
+    cfg = Config(model=model, train=train, data=data)
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def openlane_config(n_offsets: int = 72, **overrides) -> Config:
+    """Active OpenLane-V configuration (reference ``options/options4OL.py`` with
+    the testOLV3 72-offset variant from ``options/options4OLV3.py``).
+
+    ``n_offsets`` is config-driven in the reference too (``num_points``:
+    36 in options4OL.py, 72 in options4OLV3.py).
+    """
+    model = ModelConfig(
+        lane=LaneSpec(n_offsets=n_offsets, n_lengths=1),
+        backbone=BackboneConfig(),
+        neck=NeckConfig(in_channels=(128, 256, 512), out_channels=64, num_outs=3),
+        head=HeadConfig(pos_encoding="learned", separate_offset_head=True),
+        memory=MemoryConfig(window=5, slots_per_frame=5),  # max_lanes(4)+1
+        test=TestParams(conf_threshold=0.5, nms_thres=50.0, nms_topk=4),
+        max_lanes=4,
+        routing="soft",
+        cut_scale=0.0,
+        crop_size=480,
+        org_size=(1280, 1920),
+    )
+    train = TrainConfig(
+        epochs=50,
+        learning_rate=5e-4,
+        weight_decay=5e-4,
+        epochs_per_increment=15,
+        max_skip=1,
+        skip_increment=1,
+        samples_per_video=1,
+        loss=LossConfig(
+            cls_weight=8.0, reg_weight=0.5, iou_weight=1.5,
+            focal_alpha=(0.1, 0.9), style="blend_cls", use_lane_iou=True,
+        ),
+    )
+    data = DataConfig(dataset="OpenLane", cut_scale=0.0, crop_size=480, max_lanes=4)
+    cfg = Config(model=model, train=train, data=data)
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg

@@ -1,0 +1,10 @@
+from .nms import lane_nms, nms_proposals_from_predictions
+from .sampler import bilinear_sample
+from .hungarian import hungarian_assign
+
+__all__ = [
+    "lane_nms",
+    "nms_proposals_from_predictions",
+    "bilinear_sample",
+    "hungarian_assign",
+]
