@@ -137,6 +137,8 @@ class HeadConfig:
 class TestParams:
     """Inference thresholds (reference ``options*.py`` ``test_parameters``)."""
 
+    __test__ = False  # not a pytest class
+
     conf_threshold: float = 0.6
     nms_thres: float = 50.0
     nms_topk: int = 8

@@ -1,0 +1,227 @@
+"""Label assignment: cost matrix + on-device Hungarian matching.
+
+Reproduces the reference's assignment cost (``libs/utils/dynamic_assign.py``
+``assign`` :128 / ``assignV2`` :193) with fixed shapes and validity masks:
+
+  cost = -(distance * start_xy * theta)^2 * 3 + focal_cost
+  C    = cost - pairwise_line_iou
+
+and solves it with :func:`phnet_tpu.ops.hungarian_assign` *on device* —
+replacing the reference's per-frame GPU->CPU scipy round trip
+(``dynamic_assign.py:241-243``).
+
+Also provides the SimOTA-style ``dynamic_k_assign`` fast path
+(``dynamic_assign.py:83-125``) re-expressed with masks.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LaneSpec
+from ..ops import hungarian_assign
+
+INF = 987654.0
+
+
+def line_iou_pairwise(pred_xs: jnp.ndarray, target_xs: jnp.ndarray,
+                      img_w: int, length: float = 15.0) -> jnp.ndarray:
+    """Pairwise horizontal-band IoU (``dynamic_assign.py:5-36``,
+    aligned=False). pred_xs: [A, O] px; target_xs: [L, O] px -> [A, L]."""
+    px1 = pred_xs - length
+    px2 = pred_xs + length
+    tx1 = target_xs - length
+    tx2 = target_xs + length
+    ovr = jnp.minimum(px2[:, None, :], tx2[None, :, :]) - jnp.maximum(
+        px1[:, None, :], tx1[None, :, :]
+    )
+    union = jnp.maximum(px2[:, None, :], tx2[None, :, :]) - jnp.minimum(
+        px1[:, None, :], tx1[None, :, :]
+    )
+    invalid = (target_xs < 0) | (target_xs >= img_w)  # [L, O]
+    ovr = jnp.where(invalid[None], 0.0, ovr)
+    union = jnp.where(invalid[None], 0.0, union)
+    return ovr.sum(-1) / (union.sum(-1) + 1e-9)
+
+
+def line_iou_aligned(pred_xs: jnp.ndarray, target_xs: jnp.ndarray,
+                     img_w: int, length: float = 15.0) -> jnp.ndarray:
+    """Aligned line IoU (``dynamic_assign.py:20-27``).
+    pred_xs/target_xs: [..., O] px -> [...]."""
+    px1, px2 = pred_xs - length, pred_xs + length
+    tx1, tx2 = target_xs - length, target_xs + length
+    ovr = jnp.minimum(px2, tx2) - jnp.maximum(px1, tx1)
+    union = jnp.maximum(px2, tx2) - jnp.minimum(px1, tx1)
+    invalid = (target_xs < 0) | (target_xs >= img_w)
+    ovr = jnp.where(invalid, 0.0, ovr)
+    union = jnp.where(invalid, 0.0, union)
+    return ovr.sum(-1) / (union.sum(-1) + 1e-9)
+
+
+def lane_iou_aligned(pred_xs: jnp.ndarray, target_xs: jnp.ndarray,
+                     img_h: int, img_w: int,
+                     lane_width: float = 7.5 / 768.0,
+                     max_dx: float = 1e4) -> jnp.ndarray:
+    """CLRerNet slope-adaptive LaneIoU, relative coordinates
+    (``dynamic_assignV2.py:55-101`` ``LaneIoULoss``). Inputs [..., O]."""
+    n_strips = pred_xs.shape[-1] - 1
+    dy = img_h / n_strips * 2.0
+
+    def widths(xs, clamp):
+        dx = (xs[..., 2:] - xs[..., :-2]) * img_w
+        if clamp:
+            dx = jnp.where(jnp.abs(dx) > max_dx, 0.0, dx)
+        w = lane_width * jnp.sqrt(dx**2 + dy**2) / dy
+        return jnp.concatenate([w[..., :1], w, w[..., -1:]], axis=-1)
+
+    pw = widths(jax.lax.stop_gradient(pred_xs), clamp=False)
+    tw = widths(target_xs, clamp=True)
+    px1, px2 = pred_xs - pw, pred_xs + pw
+    tx1, tx2 = target_xs - tw, target_xs + tw
+    ovr = jnp.minimum(px2, tx2) - jnp.maximum(px1, tx1)
+    union = jnp.maximum(px2, tx2) - jnp.minimum(px1, tx1)
+    invalid = (target_xs < 0) | (target_xs >= 1.0)
+    ovr = jnp.where(invalid, 0.0, ovr)
+    union = jnp.where(invalid, 0.0, union)
+    return ovr.sum(-1) / (union.sum(-1) + 1e-9)
+
+
+def _focal_cost_pos(cls_logits: jnp.ndarray, alpha: float = 0.25,
+                    gamma: float = 2.0, eps: float = 1e-12) -> jnp.ndarray:
+    """Focal assignment cost for the positive class
+    (``dynamic_assign.py:66-80``). cls_logits: [A, 2] -> [A]."""
+    p = jax.nn.sigmoid(cls_logits)
+    neg = -jnp.log(1 - p + eps) * (1 - alpha) * p**gamma
+    pos = -jnp.log(p + eps) * alpha * (1 - p) ** gamma
+    return pos[:, 1] - neg[:, 1]
+
+
+def assignment_cost(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    spec: LaneSpec,
+    img_w: int,
+    img_h: int,
+    distance_cost_weight: float = 3.0,
+    cls_cost_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Assignment cost matrix C = cost - iou, shape ``[L, A]``.
+
+    predictions: [A, dim] (xs normalized); targets: [L, dim] (xs in px);
+    target_valid: [L] bool. Padded target rows produce garbage entries —
+    mask them out downstream.
+    """
+    predictions = jax.lax.stop_gradient(predictions)
+    targets = jax.lax.stop_gradient(targets)
+    a = predictions.shape[0]
+
+    pred_xs_px = predictions[:, spec.col_xs :] * (img_w - 1)
+    tgt_xs_px = targets[:, spec.col_xs :]
+
+    # --- mean |dx| over the target's valid columns; the reference slices
+    # from column 6 (dynamic_assign.py:44-63) which, for the VIL layout,
+    # also includes the invalid-length field — replicated bit-for-bit.
+    if spec.n_lengths == 2:
+        pred_d = jnp.concatenate(
+            [predictions[:, 6:7], pred_xs_px], axis=-1)
+        tgt_d = jnp.concatenate([targets[:, 6:7], tgt_xs_px], axis=-1)
+    else:
+        pred_d, tgt_d = pred_xs_px, tgt_xs_px
+    invalid = (tgt_d < 0) | (tgt_d >= img_w)  # [L, D]
+    lengths = jnp.sum(~invalid, axis=-1).astype(jnp.float32)
+    diffs = jnp.abs(tgt_d[None, :, :] - pred_d[:, None, :])
+    diffs = jnp.where(invalid[None], 0.0, diffs)
+    distances = diffs.sum(-1) / (lengths[None] + 1e-9)  # [A, L]
+
+    def masked_max(x):
+        big = jnp.max(jnp.where(target_valid[None, :], x, -jnp.inf))
+        return jnp.maximum(big, 0.0)
+
+    dist_score = 1.0 - distances / (masked_max(distances) + 1e-4)
+
+    cls_score = _focal_cost_pos(predictions[:, :2])[:, None]  # [A, 1]
+
+    t_sy = targets[:, spec.col_start_y] * (img_h - 1)
+    t_sx = targets[:, spec.col_start_x] * (img_w - 1)
+    p_sy = predictions[:, spec.col_start_y] * (img_h - 1)
+    p_sx = predictions[:, spec.col_start_x] * (img_w - 1)
+    start_d = jnp.sqrt(
+        (p_sy[:, None] - t_sy[None, :]) ** 2
+        + (p_sx[:, None] - t_sx[None, :]) ** 2
+        + 1e-12
+    )
+    start_score = 1.0 - start_d / (masked_max(start_d) + 1e-4)
+
+    theta_d = (
+        jnp.abs(predictions[:, spec.col_theta, None] - targets[None, :, spec.col_theta])
+        * 180.0
+    )
+    theta_score = 1.0 - theta_d / (masked_max(theta_d) + 1e-4)
+
+    cost = (
+        -((dist_score * start_score * theta_score) ** 2) * distance_cost_weight
+        + cls_score * cls_cost_weight
+    )
+    iou = line_iou_pairwise(pred_xs_px, tgt_xs_px, img_w, length=15.0)
+    return (cost - iou).T  # [L, A]
+
+
+def assign_frame(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    spec: LaneSpec,
+    img_w: int,
+    img_h: int,
+) -> jnp.ndarray:
+    """Hungarian-match each valid target to a distinct prior.
+
+    Returns ``matched_prior [L] int32`` (arbitrary for invalid targets).
+    """
+    cost = assignment_cost(predictions, targets, target_valid, spec, img_w, img_h)
+    return hungarian_assign(cost, target_valid)
+
+
+def dynamic_k_assign(
+    cost_al: jnp.ndarray, iou_al: jnp.ndarray, target_valid: jnp.ndarray,
+    n_candidate_k: int = 4,
+) -> jnp.ndarray:
+    """SimOTA-style one-to-few assignment (``dynamic_assign.py:83-125``),
+    masked fixed-shape variant. Returns a [A, L] bool matching matrix.
+
+    Provided as the fast-path alternative assigner; unlike Hungarian it can
+    match several priors per target (dynamic k = clamp(sum(top4 iou), 1)).
+    """
+    a, l = cost_al.shape
+    ious = jnp.where(target_valid[None], jnp.maximum(iou_al, 0.0), 0.0)
+    topk_ious = jax.lax.top_k(ious.T, n_candidate_k)[0]  # [L, k]
+    dynamic_ks = jnp.clip(topk_ious.sum(-1).astype(jnp.int32), 1, a)  # [L]
+
+    cost_work = jnp.where(target_valid[None], cost_al, INF)
+    match = jnp.zeros((a, l), bool)
+
+    def per_target(t, state):
+        cost_work, match = state
+        col = cost_work[:, t]
+        k = dynamic_ks[t]
+        # take the k smallest costs of this column
+        _, top_idx = jax.lax.top_k(-col, a)  # ascending cost order
+        take = jnp.arange(a) < k
+        sel = jnp.zeros((a,), bool).at[top_idx].set(take)
+        sel = sel & target_valid[t]
+        match = match.at[:, t].set(sel)
+        cost_work = jnp.where(sel[:, None], INF, cost_work)
+        return cost_work, match
+
+    cost_work, match = jax.lax.fori_loop(0, l, per_target, (cost_work, match))
+
+    # resolve priors matched to >1 target: keep only the min-cost target
+    multi = match.sum(-1) > 1
+    best_t = jnp.argmin(jnp.where(target_valid[None], cost_al, INF), axis=-1)
+    onehot_best = jax.nn.one_hot(best_t, l, dtype=bool)
+    match = jnp.where(multi[:, None], onehot_best & match.any(-1, keepdims=True), match)
+    return match

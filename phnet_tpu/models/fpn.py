@@ -1,0 +1,54 @@
+"""FPN neck (flax.linen, NHWC).
+
+Equivalent of the reference's mmdet-style FPN (``libs/models/fpn.py:9-163``)
+with the active configuration: plain convs (no norm/act), nearest-neighbour
+top-down upsampling, 1x1 laterals + 3x3 output convs, and the same
+"drop leading inputs when given more levels than in_channels" behaviour
+(``fpn.py:113-116``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _upsample_nearest(x: jnp.ndarray, target_hw) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    th, tw = target_hw
+    return jax.image.resize(x, (b, th, tw, c), method="nearest")
+
+
+class FPN(nn.Module):
+    in_channels: Tuple[int, ...] = (128, 256, 512)
+    out_channels: int = 64
+    num_outs: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        inputs = list(inputs)
+        if len(inputs) > len(self.in_channels):
+            inputs = inputs[len(inputs) - len(self.in_channels):]
+
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f"lateral_{i}")(x)
+            for i, x in enumerate(inputs)
+        ]
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + _upsample_nearest(
+                laterals[i], laterals[i - 1].shape[1:3]
+            )
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name=f"fpn_{i}")(lat)
+            for i, lat in enumerate(laterals)
+        ]
+        # extra levels via stride-2 max pool (fpn.py:145-149)
+        while len(outs) < self.num_outs:
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return tuple(outs)

@@ -1,0 +1,254 @@
+"""PHNet: video lane detection with temporal memory, as one jitted program.
+
+Equivalent of the reference's clip drivers ``RouterWithB``
+(``libs/models/RouterV4.py:466-538``) and ``RouterOL``
+(``libs/models/Router4OL.py:502-583``): backbone+FPN batched over all clip
+frames, then a per-frame head pass that carries a memory of positive-lane
+features between frames.
+
+TPU-native redesign of the temporal loop:
+
+* the reference's python ``for t in range(T)`` with a ragged, growing
+  ``last_cuts`` list becomes ``flax.linen.scan`` over time with a
+  fixed-shape ring-buffer memory ``[B, S, W, L+1, 2C]`` + validity mask;
+* training-time memory selection (Hungarian-matched positives,
+  ``saveMemory``, ``RouterV4.py:517-526``) runs *on device* inside the scan
+  via :func:`phnet_tpu.losses.assign.assign_frame`;
+* inference-time selection (NMS keeps, ``saveMemory4Test``,
+  ``RouterV4.py:527-538``) uses the jittable :func:`phnet_tpu.ops.lane_nms`;
+* the router's data-dependent branch choice (``torch.where(diff>=0.5, ...)``
+  ``RouterV4.py:500`` / soft blend ``Router4OL.py:541``) is a masked select —
+  both branches are always computed (they are cheap at A=240), keeping the
+  program trace-stable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..losses.assign import assign_frame
+from ..ops.nms import lane_nms, nms_proposals_from_predictions
+from .encoder import Encoder
+from .head import HeadOutputs, LaneHead
+
+
+class MemoryState(NamedTuple):
+    """Temporal memory ring buffer.
+
+    values: [B, S, W, L1, D] per-stage memorized anchor features
+    mask:   [B, W, L1] slot validity (shared across stages; per-frame slot
+            counts are equal across stages in the reference too)
+    t:      scalar int32 frame counter (ring write position = t % W)
+    """
+
+    values: jnp.ndarray
+    mask: jnp.ndarray
+    t: jnp.ndarray
+
+
+class TrainFrameOut(NamedTuple):
+    pred_fir: jnp.ndarray  # [S, B, A, dim]
+    pred_sec: jnp.ndarray  # [S, B, A, dim]
+    diff: jnp.ndarray      # [S, B, A]
+
+
+class InferFrameOut(NamedTuple):
+    kept: jnp.ndarray        # [B, K, dim] routed predictions at NMS keeps
+    kept_valid: jnp.ndarray  # [B, K] bool
+    num_kept: jnp.ndarray    # [B] int32
+
+
+def init_memory(cfg: ModelConfig, batch: int, window: int) -> MemoryState:
+    h = cfg.head
+    slots = cfg.max_lanes + 1
+    return MemoryState(
+        values=jnp.zeros(
+            (batch, h.refine_layers, window, slots, 2 * h.fc_hidden_dim)
+        ),
+        mask=jnp.zeros((batch, window, slots), bool),
+        t=jnp.int32(0),
+    )
+
+
+def route_predictions(cfg: ModelConfig, out: HeadOutputs) -> jnp.ndarray:
+    """Blend the two branches' final-stage predictions by mean router score.
+
+    hard (VIL, ``RouterV4.py:498-500``): select sec where diff >= 0.5;
+    soft (OL, ``Router4OL.py:539-541``): diff-weighted average.
+    """
+    diff_mean = out.diff.mean(axis=0)[..., None]  # [B, A, 1]
+    fir, sec = out.pred_fir[-1], out.pred_sec[-1]
+    if cfg.routing == "hard":
+        return jnp.where(diff_mean >= 0.5, sec, fir)
+    return diff_mean * sec + (1.0 - diff_mean) * fir
+
+
+class _FrameStep(nn.Module):
+    """One scan step: head forward + memory update."""
+
+    cfg: ModelConfig
+    train_mode: bool
+
+    @nn.compact
+    def __call__(self, carry: MemoryState, xs):
+        cfg = self.cfg
+        feats, label = xs  # feats: tuple of [B, h, w, c]; label: [B, L, dim]
+        b = feats[0].shape[0]
+        s = cfg.head.refine_layers
+        window = carry.values.shape[2]
+        slots = carry.values.shape[3]
+
+        mem_flat_vals = carry.values.reshape(b, s, window * slots, -1)
+        mem_flat_mask = carry.mask.reshape(b, window * slots)
+
+        head = LaneHead(cfg, name="head")
+        out = head(feats, mem_flat_vals, mem_flat_mask, train=self.train_mode)
+
+        spec = cfg.lane
+        if self.train_mode:
+            target_valid = label[..., 1] == 1.0
+
+            assign_batch = jax.vmap(
+                lambda p, tt, vv: assign_frame(p, tt, vv, spec, cfg.img_w, cfg.img_h)
+            )
+            # matched priors of the *second* branch per stage feed the memory
+            # (``RouterWithB.forward``: saveMemory(matched_sec, curr_cut));
+            # each stage stores its own matches, zipped with its features.
+            matched = jax.vmap(lambda ps: assign_batch(ps, label, target_valid))(
+                jax.lax.stop_gradient(out.pred_sec)
+            )  # [S, B, L]
+            carry = _write_memory_per_stage(
+                carry, out.attn_feat, matched, target_valid
+            )
+            step_out = TrainFrameOut(
+                pred_fir=out.pred_fir, pred_sec=out.pred_sec, diff=out.diff
+            )
+        else:
+            routed = route_predictions(cfg, out)  # [B, A, dim]
+            scores = jax.nn.softmax(routed[..., :2], axis=-1)[..., 1]
+            valid = scores >= cfg.test.conf_threshold
+            props = nms_proposals_from_predictions(routed, spec, cfg.img_w)
+            keep_idx, num_kept, _ = jax.vmap(
+                lambda p, sc, v: lane_nms(
+                    p, sc, v, cfg.test.nms_thres,
+                    n_offsets=spec.n_offsets, top_k=cfg.test.nms_topk,
+                )
+            )(props, scores, valid)
+            kept_valid = keep_idx >= 0
+            gather_idx = jnp.clip(keep_idx, 0, routed.shape[1] - 1)
+            kept = jnp.take_along_axis(
+                routed, gather_idx[..., None].astype(jnp.int32), axis=1
+            )
+            # pad keep slots up to the memory slot count (max_lanes)
+            l = cfg.max_lanes
+            slot_idx = jnp.full((b, l), -1, jnp.int32)
+            slot_idx = slot_idx.at[:, : keep_idx.shape[1]].set(keep_idx)
+            slot_valid = slot_idx >= 0
+            # same keep set for every stage's features (saveMemory4Test)
+            carry = _write_memory_per_stage(
+                carry,
+                out.attn_feat,
+                jnp.broadcast_to(slot_idx[None], (s,) + slot_idx.shape),
+                slot_valid,
+            )
+            step_out = InferFrameOut(
+                kept=kept, kept_valid=kept_valid, num_kept=num_kept
+            )
+        return carry, step_out
+
+
+def _write_memory_per_stage(
+    mem: MemoryState,
+    attn_feat: jnp.ndarray,   # [S, B, A, D]
+    matched: jnp.ndarray,     # [S, B, L]
+    slot_valid: jnp.ndarray,  # [B, L]
+) -> MemoryState:
+    """Training memory write: each stage stores its own matched positives
+    (the per-stage ``zip(matched_indices, curr_cut)`` of ``saveMemory``)."""
+    s, b, a, d = attn_feat.shape
+    window = mem.values.shape[2]
+
+    def one_stage(feats_s, matched_s):
+        idx = jnp.clip(matched_s, 0, a - 1)  # [B, L]
+        pos = jnp.take_along_axis(
+            feats_s, idx[..., None].repeat(d, -1), axis=1
+        )  # [B, L, D]
+        pos = jnp.where(slot_valid[..., None], pos, 0.0)
+        pos_onehot = (jax.nn.one_hot(idx, a) * slot_valid[..., None]).sum(1)
+        n_pos = slot_valid.sum(-1).astype(feats_s.dtype)
+        neg = (feats_s.sum(1) - jnp.einsum("bad,ba->bd", feats_s, pos_onehot)) / (
+            jnp.maximum(a - n_pos, 1.0)[:, None]
+        )
+        return jnp.concatenate([pos, neg[:, None, :]], axis=1)  # [B, L+1, D]
+
+    frame_vals = jax.vmap(one_stage)(attn_feat, matched)  # [S, B, L+1, D]
+    frame_vals = jnp.transpose(frame_vals, (1, 0, 2, 3))  # [B, S, L+1, D]
+    frame_mask = jnp.concatenate(
+        [slot_valid, jnp.ones((b, 1), bool)], axis=1
+    )
+
+    w_pos = mem.t % window
+    values = jnp.moveaxis(
+        jax.lax.dynamic_update_index_in_dim(
+            jnp.moveaxis(mem.values, 2, 0), frame_vals, w_pos, 0
+        ),
+        0, 2,
+    )
+    mask = jnp.moveaxis(
+        jax.lax.dynamic_update_index_in_dim(
+            jnp.moveaxis(mem.mask, 1, 0), frame_mask, w_pos, 0
+        ),
+        0, 1,
+    )
+    return MemoryState(values=values, mask=mask, t=mem.t + 1)
+
+
+class PHNet(nn.Module):
+    """Full clip model. Call with frames [B, T, H, W, 3] (normalized)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        frames: jnp.ndarray,
+        labels: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        initial_memory: Optional[MemoryState] = None,
+    ):
+        cfg = self.cfg
+        b, t = frames.shape[:2]
+        feats = Encoder(cfg, name="encoder")(
+            frames.reshape((b * t,) + frames.shape[2:]), train=train
+        )
+        # [B*T, h, w, c] -> [T, B, h, w, c] for the time scan
+        feats = tuple(
+            f.reshape((b, t) + f.shape[1:]).swapaxes(0, 1) for f in feats
+        )
+
+        window = cfg.memory.window if cfg.memory.window > 0 else t
+        mem0 = initial_memory if initial_memory is not None else init_memory(
+            cfg, b, window
+        )
+
+        if labels is None:
+            labels_t = jnp.zeros((t, b, cfg.max_lanes, cfg.lane.dim))
+        else:
+            labels_t = labels.swapaxes(0, 1)
+
+        scan = nn.scan(
+            _FrameStep,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+        )
+        final_mem, outs = scan(cfg=cfg, train_mode=train, name="frame")(
+            mem0, (feats, labels_t)
+        )
+        return outs, final_mem

@@ -1,0 +1,112 @@
+"""Pre-norm transformer decoder for the second (global) branch.
+
+Reference ``libs/models/utils/transformer.py:92-127, 226-320``
+(``TransformerDecoder`` of 2 ``TransformerDecoderLayer``s, pre-norm, gelu,
+d_model = 2*hidden, nhead=8, ffn=256, used without positional arguments —
+the anchor positional encoding is concatenated into the features before the
+decoder, ``RouterV4.py:255-258``). Cross-attention memory is the bank of
+positive-lane features from previous frames.
+
+TPU-native: memory is a fixed-shape [M, D] buffer with a validity mask;
+masked softmax replaces the torch ragged concatenation, and the
+"no memory yet -> pass features through" branch (``RouterV4.py:311-315``)
+becomes a mask-counted select, keeping the whole decoder traceable inside
+``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+class MultiHeadAttention(nn.Module):
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, key_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
+        """q: [B, Nq, D]; k/v: [B, Nk, D]; key_mask: [B, Nk] bool (True=keep)."""
+        h = self.num_heads
+        hd = self.dim // h
+        b, nq, _ = q.shape
+        nk = k.shape[1]
+        qp = nn.Dense(self.dim, name="q")(q).reshape(b, nq, h, hd)
+        kp = nn.Dense(self.dim, name="k")(k).reshape(b, nk, h, hd)
+        vp = nn.Dense(self.dim, name="v")(v).reshape(b, nk, h, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp) / jnp.sqrt(float(hd))
+        if key_mask is not None:
+            logits = jnp.where(key_mask[:, None, None, :], logits, NEG_INF)
+        weights = nn.softmax(logits, axis=-1)
+        if self.dropout > 0.0 and not deterministic:
+            weights = nn.Dropout(self.dropout)(weights, deterministic=False)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, vp).reshape(b, nq, self.dim)
+        return nn.Dense(self.dim, name="out")(out)
+
+
+class DecoderLayer(nn.Module):
+    dim: int
+    num_heads: int = 8
+    ffn_dim: int = 256
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_mask, deterministic: bool = True):
+        # pre-norm self attention
+        x = nn.LayerNorm(name="norm1")(tgt)
+        sa = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                name="self_attn")(x, x, x,
+                                                  deterministic=deterministic)
+        if self.dropout > 0.0 and not deterministic:
+            sa = nn.Dropout(self.dropout)(sa, deterministic=False)
+        tgt = tgt + sa
+        # pre-norm cross attention over the temporal memory bank
+        x = nn.LayerNorm(name="norm2")(tgt)
+        ca = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                name="cross_attn")(
+            x, memory, memory, key_mask=memory_mask,
+            deterministic=deterministic)
+        if self.dropout > 0.0 and not deterministic:
+            ca = nn.Dropout(self.dropout)(ca, deterministic=False)
+        tgt = tgt + ca
+        # pre-norm FFN (gelu)
+        x = nn.LayerNorm(name="norm3")(tgt)
+        y = nn.Dense(self.ffn_dim, name="ffn1")(x)
+        y = nn.gelu(y)
+        if self.dropout > 0.0 and not deterministic:
+            y = nn.Dropout(self.dropout)(y, deterministic=False)
+        y = nn.Dense(self.dim, name="ffn2")(y)
+        if self.dropout > 0.0 and not deterministic:
+            y = nn.Dropout(self.dropout)(y, deterministic=False)
+        return tgt + y
+
+
+class TemporalDecoder(nn.Module):
+    """2-layer pre-norm decoder + final LayerNorm; falls back to identity on
+    an empty memory bank (all keys masked)."""
+
+    dim: int
+    num_layers: int = 2
+    num_heads: int = 8
+    ffn_dim: int = 256
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_mask, deterministic: bool = True):
+        """tgt: [B, A, D]; memory: [B, M, D]; memory_mask: [B, M] bool."""
+        x = tgt
+        for i in range(self.num_layers):
+            x = DecoderLayer(self.dim, self.num_heads, self.ffn_dim,
+                             self.dropout, name=f"layer{i}")(
+                x, memory, memory_mask, deterministic)
+        x = nn.LayerNorm(name="final_norm")(x)
+        # no valid memory for a batch element -> pass tgt through unchanged
+        # (RouterV4.py:311-315: decoder is skipped when last_cut is empty)
+        has_memory = jnp.any(memory_mask, axis=-1)  # [B]
+        return jnp.where(has_memory[:, None, None], x, tgt)

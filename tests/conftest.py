@@ -17,3 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compile cache: model-compile-heavy tests go from minutes to
+# seconds on re-runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/phnet_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

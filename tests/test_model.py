@@ -1,0 +1,155 @@
+"""Model forward tests (tiny config, CPU)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from phnet_tpu.config import (
+    BackboneConfig, HeadConfig, LaneSpec, MemoryConfig, ModelConfig,
+    NeckConfig, TestParams,
+)
+from phnet_tpu.models import PHNet
+from phnet_tpu.models.phnet import init_memory, route_predictions
+
+
+def tiny_cfg(routing="hard", n_lengths=2, window=0, separate_offset_head=False):
+    return ModelConfig(
+        img_h=96,
+        img_w=192,
+        lane=LaneSpec(n_offsets=12, n_lengths=n_lengths),
+        backbone=BackboneConfig(in_channels=(8, 16, 24, 32)),
+        neck=NeckConfig(in_channels=(16, 24, 32), out_channels=16, num_outs=3),
+        head=HeadConfig(
+            num_priors=32,
+            sample_points=8,
+            fc_hidden_dim=16,
+            prior_feat_channels=16,
+            decoder_ffn_dim=32,
+            separate_offset_head=separate_offset_head,
+            pos_encoding="sine" if n_lengths == 2 else "learned",
+        ),
+        memory=MemoryConfig(window=window, slots_per_frame=5),
+        test=TestParams(conf_threshold=0.3, nms_thres=20.0, nms_topk=4),
+        max_lanes=4,
+        routing=routing,
+    )
+
+
+def make_labels(rng, b, t, cfg):
+    spec = cfg.lane
+    lab = np.full((b, t, cfg.max_lanes, spec.dim), -1e5, np.float32)
+    lab[..., 0] = 1.0
+    lab[..., 1] = 0.0
+    # two valid lanes per frame
+    for i in range(2):
+        lab[:, :, i, 0] = 0.0
+        lab[:, :, i, 1] = 1.0
+        lab[:, :, i, 2] = 0.0
+        lab[:, :, i, 3] = 0.3 + 0.3 * i
+        lab[:, :, i, 4] = 0.5
+        lab[:, :, i, spec.col_length] = 0.8
+        if spec.n_lengths == 2:
+            lab[:, :, i, spec.col_invalid_length] = 0.0
+        lab[:, :, i, spec.col_xs:] = rng.uniform(
+            20, 170, (b, t, spec.n_offsets))
+    return jnp.array(lab)
+
+
+@pytest.mark.parametrize("n_lengths,sep", [(2, False), (1, True)])
+def test_phnet_train_forward(n_lengths, sep):
+    cfg = tiny_cfg(n_lengths=n_lengths, separate_offset_head=sep)
+    model = PHNet(cfg)
+    rng = np.random.default_rng(0)
+    b, t = 1, 3
+    frames = jnp.array(rng.normal(size=(b, t, cfg.img_h, cfg.img_w, 3)), jnp.float32)
+    labels = make_labels(rng, b, t, cfg)
+
+    variables = jax.jit(lambda r, f, l: model.init(r, f, l, train=True))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        frames, labels,
+    )
+    outs, mem = jax.jit(
+        lambda v, f, l, r: model.apply(
+            v, f, l, train=True, rngs={"dropout": r}, mutable=["batch_stats"]
+        )
+    )(variables, frames, labels, jax.random.key(2))[0]
+    s, a, dim = 3, cfg.head.num_priors, cfg.lane.dim
+    assert outs.pred_fir.shape == (t, s, b, a, dim)
+    assert outs.pred_sec.shape == (t, s, b, a, dim)
+    assert outs.diff.shape == (t, s, b, a)
+    assert np.all(np.isfinite(np.array(outs.pred_fir)))
+    assert np.all(np.isfinite(np.array(outs.pred_sec)))
+    # router scores land in [0.5, 1) because its MLP ends in ReLU
+    d = np.array(outs.diff)
+    assert d.min() >= 0.5 and d.max() < 1.0
+    # training memory fills one slot row per frame
+    assert mem.mask.shape == (b, t, cfg.max_lanes + 1)
+    assert bool(mem.mask[:, :, -1].all())
+    assert int(mem.t) == t
+
+
+def test_phnet_infer_forward_and_memory():
+    cfg = tiny_cfg(window=2)
+    model = PHNet(cfg)
+    rng = np.random.default_rng(1)
+    b, t = 2, 4
+    frames = jnp.array(rng.normal(size=(b, t, cfg.img_h, cfg.img_w, 3)), jnp.float32)
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames,
+    )
+    apply_fn = jax.jit(lambda v, f: model.apply(v, f, None, train=False))
+    outs, mem = apply_fn(variables, frames)
+    k = cfg.test.nms_topk
+    assert outs.kept.shape == (t, b, k, cfg.lane.dim)
+    assert outs.kept_valid.shape == (t, b, k)
+    assert outs.num_kept.shape == (t, b)
+    assert np.all(np.array(outs.num_kept) >= 0)
+    # bounded window: ring buffer has `window` rows
+    assert mem.values.shape[2] == 2
+    assert int(mem.t) == t
+
+    # deterministic eval: second run identical
+    outs2, _ = apply_fn(variables, frames)
+    np.testing.assert_allclose(np.array(outs.kept), np.array(outs2.kept))
+
+
+def test_route_predictions_modes():
+    cfg_h = tiny_cfg(routing="hard")
+    cfg_s = dataclasses.replace(cfg_h, routing="soft")
+    s, b, a, dim = 3, 1, 4, cfg_h.lane.dim
+    from phnet_tpu.models.head import HeadOutputs
+    fir = jnp.zeros((s, b, a, dim))
+    sec = jnp.ones((s, b, a, dim))
+    diff = jnp.full((s, b, a), 0.75)
+    out = HeadOutputs(fir, sec, diff, jnp.zeros((s, b, a, 4)))
+    hard = route_predictions(cfg_h, out)
+    soft = route_predictions(cfg_s, out)
+    np.testing.assert_allclose(np.array(hard), 1.0)
+    np.testing.assert_allclose(np.array(soft), 0.75)
+
+
+def test_streaming_memory_carry():
+    """Chunked inference with carried memory == one long clip (same params)."""
+    cfg = tiny_cfg(window=8)
+    model = PHNet(cfg)
+    rng = np.random.default_rng(2)
+    b, t = 1, 4
+    frames = jnp.array(rng.normal(size=(b, t, cfg.img_h, cfg.img_w, 3)), jnp.float32)
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames,
+    )
+    full, _ = jax.jit(lambda v, f: model.apply(v, f, None, train=False))(
+        variables, frames)
+    mem = init_memory(cfg, b, 8)
+    chunk_fn = jax.jit(
+        lambda v, f, m: model.apply(v, f, None, train=False, initial_memory=m))
+    out1, mem = chunk_fn(variables, frames[:, :2], mem)
+    out2, mem = chunk_fn(variables, frames[:, 2:], mem)
+    np.testing.assert_allclose(
+        np.array(full.kept[:2]), np.array(out1.kept), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.array(full.kept[2:]), np.array(out2.kept), rtol=1e-4, atol=1e-5)
