@@ -173,7 +173,8 @@ class LaneCriterion:
         labels_t = labels.swapaxes(0, 1)  # [T, B, L, dim]
 
         def per_frame(pf, ps, df, lab):
-            return jax.vmap(self.frame_loss, in_axes=(2, 2, 2, 0))(pf, ps, df, lab)
+            # pf/ps: [S, B, A, dim]; df: [S, B, A]; lab: [B, L, dim]
+            return jax.vmap(self.frame_loss, in_axes=(1, 1, 1, 0))(pf, ps, df, lab)
 
         losses, metrics = jax.vmap(per_frame)(
             outs.pred_fir, outs.pred_sec, outs.diff, labels_t
