@@ -1,0 +1,143 @@
+"""OpenLane-V dataset reader.
+
+Follows the reference's schema (``libs/dataset/openlane/datasetOL.py:19-141``):
+
+  <root>/OpenLane/images/{training,validation}/<video>/<frame>.jpg
+  <root>/OpenLane/OpenLane-V/label/{training,validation}/<video>/<frame>.pickle
+      pickle = {'lanes': [ndarray (N, 2)]}
+
+Behaviours reproduced: 480 px sky crop with lane-y correction
+(``datasetOL.py:47-58``), random horizontal flip of the whole clip and
+random clip reversal in training (``datasetOL.py:89-110``), temporal
+sampling with max_skip (capped at 1 like the reference's
+MAX_TRAINING_SKIP), whole-video validation.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from ..config import DataConfig, LaneSpec
+from ..geometry import encode_lane_label
+from .transforms import Normalize, TrainAugment, resize_with_lanes
+
+MAX_TRAINING_SKIP = 1
+
+
+class OpenLaneDataset:
+    def __init__(
+        self,
+        data_cfg: DataConfig,
+        spec: LaneSpec,
+        train: bool = True,
+        sampled_frames: int = 16,
+        max_skip: int = 1,
+        skip_increment: int = 1,
+        samples_per_video: int = 1,
+        augment: Optional[TrainAugment] = None,
+        seed: int = 3407,
+    ):
+        self.cfg = data_cfg
+        self.spec = spec
+        self.train = train
+        mode = "training" if train else "validation"
+        self.mode = mode
+        root = os.path.join(data_cfg.root, "OpenLane")
+        self.img_root = os.path.join(root, "images", mode)
+        self.label_root = os.path.join(root, "OpenLane-V", "label", mode)
+        self.videos = sorted(os.listdir(self.label_root))
+        self.sampled_frames = sampled_frames
+        self.max_skip = max_skip
+        self.increment = skip_increment
+        self.samples_per_video = samples_per_video if train else 1
+        self.augment = augment
+        self.normalize = Normalize()
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.samples_per_video * len(self.videos)
+
+    def increase_max_skip(self):
+        self.max_skip = min(self.max_skip + self.increment, MAX_TRAINING_SKIP)
+
+    def set_max_skip(self, max_skip: int):
+        self.max_skip = max_skip
+
+    def _sample_frames(self, frames: List[str]) -> List[str]:
+        n = len(frames)
+        if not self.train:
+            return frames
+        nsamples = min(self.sampled_frames, n)
+        picked, last = [], -1
+        for i in range(nsamples):
+            if i == 0:
+                last = int(self.rng.integers(0, n - nsamples + 1))
+            else:
+                hi = min(last + self.max_skip + 1, n - nsamples + i + 1)
+                last = int(self.rng.integers(last + 1, hi))
+            picked.append(frames[last])
+        return picked
+
+    def __getitem__(self, idx: int) -> Dict:
+        vid = self.videos[idx // self.samples_per_video]
+        label_dir = os.path.join(self.label_root, vid)
+        frames = sorted(n[: -len(".pickle")] for n in os.listdir(label_dir))
+        sample_frames = self._sample_frames(frames)
+
+        flip = bool(self.rng.integers(0, 2)) if self.train else False
+        reverse = bool(self.rng.integers(0, 2)) if self.train else False
+        if reverse:
+            sample_frames = sample_frames[::-1]
+
+        crop = self.cfg.crop_size
+        imgs, labels, points = [], [], []
+        ori_h = ori_w = None
+        for name in sample_frames:
+            img = cv2.imread(os.path.join(self.img_root, vid, name + ".jpg"))
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            ori_h, ori_w = img.shape[:2]
+            img = img[crop:]
+            with open(os.path.join(label_dir, name + ".pickle"), "rb") as f:
+                anno = pickle.load(f)
+            lanes = []
+            for pts in anno["lanes"]:
+                pts = np.asarray(pts, np.float32)
+                if len(pts) == 0:
+                    continue
+                pts = pts.copy()
+                pts[:, 1] -= crop
+                if flip:
+                    pts[:, 0] = (ori_w - 1) - pts[:, 0]
+                if len(pts) >= 3:  # reference filters len(lane) > 2
+                    lanes.append(pts)
+            if flip:
+                img = img[:, ::-1].copy()
+            if self.augment is not None and self.train:
+                img, lanes = self.augment(img, lanes)
+            else:
+                img, lanes = resize_with_lanes(
+                    img, lanes, self.cfg.img_h, self.cfg.img_w)
+            label = encode_lane_label(
+                [list(map(tuple, p[np.argsort(-p[:, 1])])) for p in lanes],
+                list(range(len(lanes))),
+                self.spec, self.cfg.img_h, self.cfg.img_w, self.cfg.max_lanes,
+            )
+            imgs.append(self.normalize(img))
+            labels.append(label)
+            points.append(lanes)
+
+        return {
+            "name": vid,
+            "frames": np.stack(imgs),
+            "labels": np.stack(labels),
+            "points": points,
+            "size": (ori_h - crop, ori_w),  # cropped coordinate frame
+            "ori_size": (ori_h, ori_w),
+            "crop": crop,
+            "frame_names": sample_frames,
+        }

@@ -1,0 +1,139 @@
+"""Host-side image + lane-geometry transforms (numpy/cv2).
+
+Equivalent of the reference's imgaug pipelines (``transformV4.py:95-123``
+built from ``optionsV3.py:50-88``; OL variant ``openlane/transforms.py``):
+resize, horizontal flip, channel shuffle, brightness multiply/add,
+hue/saturation shift, motion/median blur, affine
+(translate/rotate/scale), then a final resize — each applied with its
+configured probability, with lane polylines transformed alongside the
+pixels. Runs on the host data path; the device only ever sees fixed-shape
+tensors.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+Lanes = List[np.ndarray]  # list of (N, 2) float arrays (x, y)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class Normalize:
+    """(img/255 - mean) / std (reference ``transform.py:194-203``)."""
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        return ((img.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def resize_with_lanes(img: np.ndarray, lanes: Lanes, out_h: int, out_w: int
+                      ) -> Tuple[np.ndarray, Lanes]:
+    h, w = img.shape[:2]
+    out = cv2.resize(img, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+    sx, sy = out_w / w, out_h / h
+    new_lanes = [l * np.array([sx, sy], np.float32) for l in lanes]
+    return out, new_lanes
+
+
+def _clip_lanes(lanes: Lanes, h: int, w: int) -> Lanes:
+    """Drop out-of-image points (approximation of imgaug's
+    ``clip_out_of_image_``; the label encoder re-extrapolates to the image
+    bottom anyway, transformV4.py:141-149)."""
+    out = []
+    for l in lanes:
+        keep = (l[:, 0] >= 0) & (l[:, 0] < w) & (l[:, 1] >= 0) & (l[:, 1] < h)
+        pts = l[keep]
+        if len(pts) >= 2:
+            out.append(pts)
+    return out
+
+
+@dataclass
+class TrainAugment:
+    """Probabilistic augmentation pipeline; VIL defaults from
+    ``optionsV3.py:50-88``. Use ``ol_defaults()`` for the OpenLane knobs."""
+
+    img_h: int = 384
+    img_w: int = 768
+    p_hflip: float = 0.1
+    p_channel_shuffle: float = 0.1
+    p_brightness: float = 0.5
+    brightness_mul: Tuple[float, float] = (0.85, 1.15)
+    brightness_add: Tuple[float, float] = (-10, 10)
+    p_hue_sat: float = 0.5
+    hue_sat_value: Tuple[float, float] = (-10, 10)
+    p_blur: float = 0.2
+    p_affine: float = 0.5
+    translate: float = 0.1
+    rotate_deg: float = 3.0
+    scale: Tuple[float, float] = (0.95, 1.05)
+    rng: np.random.Generator = field(default_factory=np.random.default_rng)
+
+    @classmethod
+    def ol_defaults(cls, img_h=384, img_w=768, rng=None):
+        """OL 'complex' pipeline (``openlane/transforms.py:198-247``)."""
+        return cls(img_h=img_h, img_w=img_w, p_hflip=0.0, p_channel_shuffle=0.1,
+                   p_brightness=0.5, p_hue_sat=0.5, p_blur=0.1, p_affine=0.1,
+                   rotate_deg=5.0, scale=(0.9, 1.1),
+                   rng=rng or np.random.default_rng())
+
+    def __call__(self, img: np.ndarray, lanes: Lanes) -> Tuple[np.ndarray, Lanes]:
+        rng = self.rng
+        img, lanes = resize_with_lanes(img, lanes, self.img_h, self.img_w)
+        h, w = img.shape[:2]
+
+        if rng.random() < self.p_hflip:
+            img = img[:, ::-1].copy()
+            lanes = [np.stack([w - 1 - l[:, 0], l[:, 1]], 1) for l in lanes]
+
+        if rng.random() < self.p_channel_shuffle:
+            img = img[..., rng.permutation(3)]
+
+        if rng.random() < self.p_brightness:
+            mul = rng.uniform(*self.brightness_mul)
+            add = rng.uniform(*self.brightness_add)
+            img = np.clip(img.astype(np.float32) * mul + add, 0, 255).astype(np.uint8)
+
+        if rng.random() < self.p_hue_sat:
+            hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int16)
+            shift = rng.uniform(*self.hue_sat_value, size=2)
+            hsv[..., 0] = (hsv[..., 0] + int(shift[0])) % 180
+            hsv[..., 1] = np.clip(hsv[..., 1] + int(shift[1]), 0, 255)
+            img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+        if rng.random() < self.p_blur:
+            k = int(rng.choice([3, 5]))
+            if rng.random() < 0.5:
+                img = cv2.medianBlur(img, k)
+            else:  # crude motion blur: 1-D kernel at random angle
+                kernel = np.zeros((k, k), np.float32)
+                kernel[k // 2, :] = 1.0 / k
+                ang = rng.uniform(0, 180)
+                rot = cv2.getRotationMatrix2D((k / 2 - 0.5, k / 2 - 0.5), ang, 1.0)
+                kernel = cv2.warpAffine(kernel, rot, (k, k))
+                kernel /= max(kernel.sum(), 1e-6)
+                img = cv2.filter2D(img, -1, kernel)
+
+        if rng.random() < self.p_affine:
+            tx = rng.uniform(-self.translate, self.translate) * w
+            ty = rng.uniform(-self.translate, self.translate) * h
+            ang = rng.uniform(-self.rotate_deg, self.rotate_deg)
+            sc = rng.uniform(*self.scale)
+            m = cv2.getRotationMatrix2D((w / 2, h / 2), ang, sc)
+            m[:, 2] += (tx, ty)
+            img = cv2.warpAffine(img, m, (w, h))
+            new_lanes = []
+            for l in lanes:
+                ones = np.ones((len(l), 1), np.float32)
+                pts = np.concatenate([l, ones], 1) @ m.T
+                new_lanes.append(pts.astype(np.float32))
+            lanes = new_lanes
+
+        lanes = _clip_lanes(lanes, h, w)
+        return img, lanes

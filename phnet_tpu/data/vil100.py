@@ -1,0 +1,166 @@
+"""VIL-100 dataset reader.
+
+Follows the reference's on-disk schema (``libs/dataset/dataV3.py:64-205``):
+
+  <root>/VIL100/
+    data/db_info.yaml            sequences: [{name, set: train|test}, ...]
+    JPEGImages/<vid>/<frame>.jpg
+    Annotations/<vid>/<frame>.png   (indexed segmentation masks)
+    Json/<vid>/<frame>.jpg.json  {annotations: {lane: [{lane_id, points,
+                                                        occlusion}]}}
+    Flow/<vid>/<frame>{u,v}.jpg  (precomputed Farneback flow, optional)
+
+Behaviours reproduced: top ``cut_scale`` crop with lane-y correction
+(``dataV3.py:154-155, 207-216``), random temporal sampling with a growing
+``max_skip`` curriculum (``dataV3.py:119-130``, ``increase_max_skip``
+:101-102), per-video samples_per_video, whole-video test mode.
+
+The active model ignores the flow/segmentation inputs (they are loaded but
+unused in ``RouterWithB.forward``); both are optional here and off by
+default.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import cv2
+import numpy as np
+
+from ..config import DataConfig, LaneSpec, TrainConfig
+from ..geometry import encode_lane_label
+from .transforms import Normalize, TrainAugment, resize_with_lanes
+
+MAX_TRAINING_SKIP = 100
+
+
+def _load_yaml_sequences(path: str):
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)["sequences"]
+
+
+class VIL100Dataset:
+    def __init__(
+        self,
+        data_cfg: DataConfig,
+        spec: LaneSpec,
+        train: bool = True,
+        sampled_frames: int = 16,
+        max_skip: int = 5,
+        skip_increment: int = 5,
+        samples_per_video: int = 2,
+        augment: Optional[TrainAugment] = None,
+        load_seg: bool = False,
+        load_flow: bool = False,
+        seed: int = 3407,
+    ):
+        self.cfg = data_cfg
+        self.spec = spec
+        self.train = train
+        root = os.path.join(data_cfg.root, "VIL100")
+        self.imgdir = os.path.join(root, "JPEGImages")
+        self.annodir = os.path.join(root, "Annotations")
+        self.jsondir = os.path.join(root, "Json")
+        self.flowdir = os.path.join(root, "Flow")
+        db = _load_yaml_sequences(os.path.join(root, "data", "db_info.yaml"))
+        target = "train" if train else "test"
+        self.videos = [s["name"] for s in db if s["set"] == target]
+        self.sampled_frames = sampled_frames
+        self.max_skip = max_skip
+        self.increment = skip_increment
+        self.samples_per_video = samples_per_video if train else 1
+        self.augment = augment
+        self.load_seg = load_seg
+        self.load_flow = load_flow
+        self.normalize = Normalize()
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.samples_per_video * len(self.videos)
+
+    # curriculum (dataV3.py:101-105)
+    def increase_max_skip(self):
+        self.max_skip = min(self.max_skip + self.increment, MAX_TRAINING_SKIP)
+
+    def set_max_skip(self, max_skip: int):
+        self.max_skip = max_skip
+
+    def _sample_frames(self, frames: List[str]) -> List[str]:
+        n = len(frames)
+        if not self.train:
+            return frames
+        nsamples = min(self.sampled_frames, n)
+        picked, last = [], -1
+        for i in range(nsamples):
+            if i == 0:
+                last = int(self.rng.integers(0, n - nsamples + 1))
+            else:
+                hi = min(last + self.max_skip + 1, n - nsamples + i + 1)
+                last = int(self.rng.integers(last + 1, hi))
+            picked.append(frames[last])
+        return picked
+
+    def __getitem__(self, idx: int) -> Dict:
+        vid = self.videos[idx // self.samples_per_video]
+        jsonfolder = os.path.join(self.jsondir, vid)
+        frames = sorted(name[:5] for name in os.listdir(jsonfolder))
+        sample_frames = self._sample_frames(frames)
+
+        first = cv2.imread(os.path.join(self.imgdir, vid, sample_frames[0] + ".jpg"))
+        ori_h, ori_w = first.shape[:2]
+        cut = int(ori_h * self.cfg.cut_scale)
+
+        imgs, labels, points, segs = [], [], [], []
+        for name in sample_frames:
+            img = cv2.imread(os.path.join(self.imgdir, vid, name + ".jpg"))
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)[cut:]
+            with open(os.path.join(jsonfolder, name + ".jpg.json")) as f:
+                info = json.load(f)
+            lanes, lane_ids = [], []
+            for lane in info["annotations"]["lane"]:
+                pts = np.array(
+                    [(p[0], p[1] - cut) for p in lane["points"]], np.float32)
+                if len(pts) < 2:
+                    continue
+                lanes.append(pts)
+                lane_ids.append(lane["lane_id"] - 1)
+            if self.augment is not None and self.train:
+                img, lanes_t = self.augment(img, lanes)
+                # augment may drop lanes; keep id alignment by position
+                lane_ids = lane_ids[: len(lanes_t)]
+                lanes = lanes_t
+            else:
+                img, lanes = resize_with_lanes(
+                    img, lanes, self.cfg.img_h, self.cfg.img_w)
+            label = encode_lane_label(
+                [list(map(tuple, p[np.argsort(-p[:, 1])])) for p in lanes],
+                lane_ids, self.spec, self.cfg.img_h, self.cfg.img_w,
+                self.cfg.max_lanes,
+            )
+            imgs.append(self.normalize(img))
+            labels.append(label)
+            points.append(lanes)
+            if self.load_seg:
+                seg = cv2.imread(
+                    os.path.join(self.annodir, vid, name + ".png"),
+                    cv2.IMREAD_GRAYSCALE)[cut:]
+                segs.append(cv2.resize(
+                    seg, (self.cfg.img_w, self.cfg.img_h),
+                    interpolation=cv2.INTER_NEAREST))
+
+        out = {
+            "name": vid,
+            "frames": np.stack(imgs),
+            "labels": np.stack(labels),
+            "points": points,
+            "size": (ori_h, ori_w),
+            "cut": cut,
+            "frame_names": sample_frames,
+        }
+        if self.load_seg:
+            out["seg"] = np.stack(segs)
+        return out
