@@ -108,9 +108,19 @@ class SyntheticVideoDataset:
     def __post_init__(self):
         self.spec = self.spec or LaneSpec()
         self.videos = [f"synth_{i:03d}" for i in range(self.n_videos)]
+        self.max_skip = 0  # curriculum no-ops for synthetic data
 
     def __len__(self):
         return self.n_videos
+
+    def increase_max_skip(self):
+        pass
+
+    def set_max_skip(self, max_skip: int):
+        self.max_skip = max_skip
+
+    def __getitem__(self, idx: int) -> Dict:
+        return self.get_clip(idx)
 
     def get_clip(self, idx: int, t: Optional[int] = None,
                  start: int = 0) -> Dict:

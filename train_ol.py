@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""OpenLane-V training driver (reference ``trainOL.py`` equivalent).
+
+  python train_ol.py --data-root ./dataset --workdir models/OpenLane
+  python train_ol.py --synthetic --epochs 2 --frames 4
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", default="./dataset")
+    ap.add_argument("--workdir", default="models/OpenLane")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--n-offsets", type=int, default=72)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--synthetic-videos", type=int, default=4)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--init", default=None)
+    ap.add_argument("--no-mesh", action="store_true")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+
+    from phnet_tpu.config import openlane_config
+    from phnet_tpu.data import ClipLoader, SyntheticVideoDataset, TrainAugment
+    from phnet_tpu.parallel import make_mesh
+    from phnet_tpu.train.trainer import train
+
+    cfg = openlane_config(n_offsets=args.n_offsets)
+    if args.epochs:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    frames = args.frames or cfg.train.sampled_frames
+
+    n_dev = len(jax.devices())
+    batch = args.batch or max(n_dev, 1)
+    mesh = None if (args.no_mesh or n_dev == 1) else make_mesh(n_dev)
+
+    if args.synthetic:
+        dataset = SyntheticVideoDataset(
+            n_videos=args.synthetic_videos, frames_per_video=frames,
+            img_h=cfg.model.img_h, img_w=cfg.model.img_w,
+            spec=cfg.model.lane, max_lanes=cfg.model.max_lanes,
+        )
+    else:
+        from phnet_tpu.data.openlane import OpenLaneDataset
+
+        dataset = OpenLaneDataset(
+            dataclasses.replace(cfg.data, root=args.data_root),
+            cfg.model.lane,
+            train=True,
+            sampled_frames=frames,
+            max_skip=cfg.train.max_skip,
+            samples_per_video=cfg.train.samples_per_video,
+            augment=TrainAugment.ol_defaults(cfg.model.img_h, cfg.model.img_w),
+        )
+
+    loader = ClipLoader(
+        dataset, batch_size=batch, shuffle=True, seed=cfg.train.seed,
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+    )
+    state, history = train(
+        cfg, dataset, loader, args.workdir,
+        mesh=mesh, resume=args.resume, initial=args.init,
+    )
+    print(f"done; epoch losses: {[round(h, 4) for h in history]}")
+
+
+if __name__ == "__main__":
+    main()
