@@ -30,7 +30,10 @@ def main():
     from phnet_tpu.models import PHNet
     from phnet_tpu.models.phnet import init_memory
 
-    cfg = vil100_config().model
+    import dataclasses
+
+    # bf16 matmuls + Pallas NMS (auto-selected on TPU)
+    cfg = dataclasses.replace(vil100_config().model, compute_dtype="bfloat16")
     model = PHNet(cfg)
 
     video_frames = 100  # VIL-100 clip length

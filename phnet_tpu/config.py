@@ -184,6 +184,9 @@ class ModelConfig:
     org_size: Optional[Tuple[int, int]] = None  # OL fixed (1280, 1920)
     # compute dtype for backbone/head matmuls ("bfloat16" or "float32")
     compute_dtype: str = "float32"
+    # NMS implementation: "auto" (pallas on TPU, pure-jax elsewhere),
+    # "pallas", or "jax"
+    nms_backend: str = "auto"
 
     @property
     def n_offsets(self) -> int:

@@ -103,6 +103,9 @@ class LaneHead(nn.Module):
             (self.num_priors, h.prior_feat_channels),
         )
 
+        compute_dtype = (
+            jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
         self.dyn_heads = [
             DynamicConv(
                 feat_size=h.sample_points,
@@ -110,6 +113,7 @@ class LaneHead(nn.Module):
                 dim_factor=h.dyn_dim_factor,
                 param_reduction=h.dyn_param_reduction,
                 out_expand=h.dyn_out_expand,
+                dtype=compute_dtype,
                 name=f"dyn_head_{s}",
             )
             for s in range(h.refine_layers)

@@ -133,12 +133,20 @@ class _FrameStep(nn.Module):
             scores = jax.nn.softmax(routed[..., :2], axis=-1)[..., 1]
             valid = scores >= cfg.test.conf_threshold
             props = nms_proposals_from_predictions(routed, spec, cfg.img_w)
-            keep_idx, num_kept, _ = jax.vmap(
-                lambda p, sc, v: lane_nms(
+            backend = cfg.nms_backend
+            if backend == "auto":
+                backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+            if backend == "pallas":
+                from ..ops.nms_pallas import lane_nms_pallas
+
+                nms_fn = lambda p, sc, v: lane_nms_pallas(  # noqa: E731
+                    p, sc, v, thresh=cfg.test.nms_thres,
+                    n_offsets=spec.n_offsets, top_k=cfg.test.nms_topk)
+            else:
+                nms_fn = lambda p, sc, v: lane_nms(  # noqa: E731
                     p, sc, v, cfg.test.nms_thres,
-                    n_offsets=spec.n_offsets, top_k=cfg.test.nms_topk,
-                )
-            )(props, scores, valid)
+                    n_offsets=spec.n_offsets, top_k=cfg.test.nms_topk)
+            keep_idx, num_kept, _ = jax.vmap(nms_fn)(props, scores, valid)
             kept_valid = keep_idx >= 0
             gather_idx = jnp.clip(keep_idx, 0, routed.shape[1] - 1)
             kept = jnp.take_along_axis(
