@@ -221,7 +221,9 @@ class PHNet(nn.Module):
 
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        self.encoder = Encoder(self.cfg)
+
     def __call__(
         self,
         frames: jnp.ndarray,
@@ -229,16 +231,33 @@ class PHNet(nn.Module):
         train: bool = False,
         initial_memory: Optional[MemoryState] = None,
     ):
-        cfg = self.cfg
+        feats = self.encode(frames, train=train)
+        return self.detect(feats, labels, train=train,
+                           initial_memory=initial_memory)
+
+    def encode(self, frames: jnp.ndarray, train: bool = False):
+        """Backbone + FPN over all clip frames; tuple of [T, B, h, w, c]."""
         b, t = frames.shape[:2]
-        feats = Encoder(cfg, name="encoder")(
+        feats = self.encoder(
             frames.reshape((b * t,) + frames.shape[2:]), train=train
         )
-        # [B*T, h, w, c] -> [T, B, h, w, c] for the time scan
-        feats = tuple(
+        return tuple(
             f.reshape((b, t) + f.shape[1:]).swapaxes(0, 1) for f in feats
         )
 
+    @nn.compact
+    def detect(
+        self,
+        feats,
+        labels: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        initial_memory: Optional[MemoryState] = None,
+    ):
+        """Per-frame head scan over precomputed FPN features (separated from
+        ``encode`` so gradients to the feature maps — e.g. Grad-CAM — are one
+        ``jax.grad`` away)."""
+        cfg = self.cfg
+        t, b = feats[0].shape[:2]
         window = cfg.memory.window if cfg.memory.window > 0 else t
         mem0 = initial_memory if initial_memory is not None else init_memory(
             cfg, b, window
@@ -257,6 +276,6 @@ class PHNet(nn.Module):
             out_axes=0,
         )
         final_mem, outs = scan(cfg=cfg, train_mode=train, name="frame")(
-            mem0, (feats, labels_t)
+            mem0, (tuple(feats), labels_t)
         )
         return outs, final_mem
