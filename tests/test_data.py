@@ -1,0 +1,159 @@
+"""Dataset reader tests against synthesized on-disk fixtures that mirror the
+reference directory schemas (dataV3.py / datasetOL.py)."""
+
+import json
+import os
+import pickle
+
+import cv2
+import numpy as np
+import pytest
+import yaml
+
+from phnet_tpu.config import DataConfig, LaneSpec
+from phnet_tpu.data import ClipLoader, TrainAugment
+from phnet_tpu.data.openlane import OpenLaneDataset
+from phnet_tpu.data.vil100 import VIL100Dataset
+
+
+def lane_points(x0, slope, ori_h, n=12, y_top_frac=0.45):
+    ys = np.linspace(ori_h - 5, ori_h * y_top_frac, n)
+    return [[float(x0 + slope * (ori_h - y)), float(y)] for y in ys]
+
+
+@pytest.fixture
+def vil_tree(tmp_path):
+    root = tmp_path / "dataset"
+    ori_h, ori_w = 480, 960
+    videos = {"0_Road001_Trim001": "train", "1_Road002_Trim002": "test"}
+    db = {"sequences": [{"name": v, "set": s} for v, s in videos.items()]}
+    (root / "VIL100" / "data").mkdir(parents=True)
+    with open(root / "VIL100" / "data" / "db_info.yaml", "w") as f:
+        yaml.safe_dump(db, f)
+    for vid in videos:
+        for d in ("JPEGImages", "Annotations", "Json"):
+            (root / "VIL100" / d / vid).mkdir(parents=True)
+        for i in range(4):
+            name = f"{i:05d}"
+            img = np.full((ori_h, ori_w, 3), 90, np.uint8)
+            cv2.imwrite(str(root / "VIL100" / "JPEGImages" / vid / f"{name}.jpg"), img)
+            mask = np.zeros((ori_h, ori_w), np.uint8)
+            mask[-50:, :100] = 1
+            cv2.imwrite(str(root / "VIL100" / "Annotations" / vid / f"{name}.png"), mask)
+            anno = {
+                "info": {"height": ori_h, "width": ori_w},
+                "annotations": {"lane": [
+                    {"lane_id": 1, "occlusion": 0,
+                     "points": lane_points(300 + 3 * i, 0.2, ori_h)},
+                    {"lane_id": 2, "occlusion": 1,
+                     "points": lane_points(650 - 3 * i, -0.1, ori_h)},
+                ]},
+            }
+            with open(root / "VIL100" / "Json" / vid / f"{name}.jpg.json", "w") as f:
+                json.dump(anno, f)
+    return str(root), (ori_h, ori_w)
+
+
+def test_vil_dataset_reader(vil_tree):
+    root, (ori_h, ori_w) = vil_tree
+    cfg = DataConfig(root=root, img_h=96, img_w=192, cut_scale=0.35, max_lanes=8)
+    spec = LaneSpec(n_offsets=36, n_lengths=2)
+    ds = VIL100Dataset(cfg, spec, train=True, sampled_frames=3,
+                       samples_per_video=2)
+    assert len(ds) == 2  # one train video x 2 samples
+    clip = ds[0]
+    assert clip["frames"].shape == (3, 96, 192, 3)
+    assert clip["labels"].shape == (3, 8, spec.dim)
+    # both lanes encoded valid in every frame
+    np.testing.assert_array_equal(clip["labels"][:, :2, 1], 1.0)
+    np.testing.assert_array_equal(clip["labels"][:, 2:, 1], 0.0)
+    assert clip["size"] == (ori_h, ori_w)
+    assert clip["cut"] == int(ori_h * 0.35)
+    # normalized frames
+    assert abs(float(clip["frames"].mean())) < 3.0
+
+    # curriculum plumbing
+    ds.increase_max_skip()
+    assert ds.max_skip == 5 + 5
+    ds.set_max_skip(3)
+    assert ds.max_skip == 3
+
+    # test split: whole video, no augmentation
+    ds_test = VIL100Dataset(cfg, spec, train=False)
+    clip_t = ds_test[0]
+    assert clip_t["frames"].shape[0] == 4
+    assert clip_t["name"] == "1_Road002_Trim002"
+
+
+def test_vil_dataset_with_augment(vil_tree):
+    root, _ = vil_tree
+    cfg = DataConfig(root=root, img_h=96, img_w=192, cut_scale=0.35, max_lanes=8)
+    spec = LaneSpec(36, 2)
+    aug = TrainAugment(img_h=96, img_w=192, rng=np.random.default_rng(0),
+                       p_affine=1.0, p_hflip=1.0)
+    ds = VIL100Dataset(cfg, spec, train=True, sampled_frames=2,
+                       samples_per_video=1, augment=aug)
+    clip = ds[0]
+    assert clip["frames"].shape == (2, 96, 192, 3)
+    assert np.isfinite(clip["labels"]).all()
+
+
+@pytest.fixture
+def ol_tree(tmp_path):
+    root = tmp_path / "dataset"
+    ori_h, ori_w = 1280, 1920
+    for mode in ("training", "validation"):
+        for vid in ("segment-001", "segment-002"):
+            (root / "OpenLane" / "images" / mode / vid).mkdir(parents=True)
+            (root / "OpenLane" / "OpenLane-V" / "label" / mode / vid).mkdir(
+                parents=True)
+            for i in range(3):
+                name = f"15{i:07d}"
+                img = np.full((ori_h, ori_w, 3), 80, np.uint8)
+                cv2.imwrite(str(root / "OpenLane" / "images" / mode / vid /
+                                f"{name}.jpg"), img)
+                lanes = {"lanes": [
+                    np.array(lane_points(700 + 5 * i, 0.15, ori_h, y_top_frac=0.5)),
+                    np.array(lane_points(1200, -0.1, ori_h, y_top_frac=0.5)),
+                ]}
+                with open(root / "OpenLane" / "OpenLane-V" / "label" / mode /
+                          vid / f"{name}.pickle", "wb") as f:
+                    pickle.dump(lanes, f)
+    return str(root), (ori_h, ori_w)
+
+
+def test_openlane_dataset_reader(ol_tree):
+    root, (ori_h, ori_w) = ol_tree
+    cfg = DataConfig(root=root, img_h=96, img_w=192, crop_size=480, max_lanes=4)
+    spec = LaneSpec(n_offsets=24, n_lengths=1)
+    ds = OpenLaneDataset(cfg, spec, train=True, sampled_frames=2)
+    assert len(ds) == 2
+    clip = ds[0]
+    assert clip["frames"].shape == (2, 96, 192, 3)
+    assert clip["labels"].shape == (2, 4, spec.dim)
+    assert clip["labels"][0, :2, 1].sum() == 2.0
+    assert clip["size"] == (ori_h - 480, ori_w)
+    assert clip["crop"] == 480
+
+    ds_val = OpenLaneDataset(cfg, spec, train=False)
+    clip_v = ds_val[0]
+    assert clip_v["frames"].shape[0] == 3  # whole video
+
+
+def test_clip_loader_sharding(vil_tree):
+    root, _ = vil_tree
+    cfg = DataConfig(root=root, img_h=96, img_w=192, cut_scale=0.35, max_lanes=8)
+    spec = LaneSpec(36, 2)
+    ds = VIL100Dataset(cfg, spec, train=True, sampled_frames=2,
+                       samples_per_video=4)
+    loader0 = ClipLoader(ds, batch_size=1, num_shards=2, shard_index=0,
+                         prefetch=0, seed=1)
+    loader1 = ClipLoader(ds, batch_size=1, num_shards=2, shard_index=1,
+                         prefetch=0, seed=1)
+    b0 = [b["frames"].shape for b in loader0]
+    b1 = [b["frames"].shape for b in loader1]
+    assert len(b0) == len(b1) == 2  # 4 samples / 2 shards
+    batch = next(iter(loader0))
+    assert batch["frames"].shape == (1, 2, 96, 192, 3)
+    assert batch["labels"].shape == (1, 2, 8, spec.dim)
+    assert "name" in batch["infos"][0]
