@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 @dataclass(frozen=True)
@@ -93,10 +93,13 @@ class BackboneConfig:
 
 @dataclass(frozen=True)
 class NeckConfig:
-    """FPN neck (reference ``libs/models/fpn.py``, ``options*.py`` ``neck=``)."""
+    """FPN neck (reference ``libs/models/fpn.py``, ``options*.py`` ``neck=``).
+
+    ``out_channels`` may be a per-level tuple (the multi-scale variant's
+    ``fpnV2``)."""
 
     in_channels: Tuple[int, ...] = (128, 256, 512)
-    out_channels: int = 64
+    out_channels: Union[int, Tuple[int, ...]] = 64
     num_outs: int = 3
 
 
@@ -131,6 +134,17 @@ class HeadConfig:
     dyn_dim_factor: int = 2  # dim_dynamic = inplanes * factor
     dyn_param_reduction: int = 8  # hidden of the weight-generator MLPs
     dyn_out_expand: int = 6  # out_layer hidden = hidden_dim * expand
+    # head variant: "single" (RouterV4/Router4OL) or "multi" scale
+    # (Router4OLV2: per-stage sample points / channels)
+    variant: str = "single"
+    ms_sample_points: Tuple[int, ...] = (24, 48, 96)
+    ms_channels: Tuple[int, ...] = (64, 32, 16)
+
+    @property
+    def attn_dim(self) -> int:
+        """Width of the memorized second-branch features: 2*hidden for the
+        concat pos-encoding (single scale), hidden for additive (multi)."""
+        return self.fc_hidden_dim if self.variant == "multi" else 2 * self.fc_hidden_dim
 
 
 @dataclass(frozen=True)
@@ -322,4 +336,33 @@ def openlane_config(n_offsets: int = 72, **overrides) -> Config:
     )
     data = DataConfig(dataset="OpenLane", cut_scale=0.0, crop_size=480, max_lanes=4)
     cfg = Config(model=model, train=train, data=data)
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def openlane_multiscale_config(n_offsets: int = 72, **overrides) -> Config:
+    """Multi-scale OpenLane-V configuration (reference ``Router4OLV2`` used
+    by ``testOLV3.py``/``trainOLV3.py`` with ``options/options4OLV3.py``):
+    neck levels (64,128,256)->(16,32,64), per-stage sample points
+    [24,48,96] over channels [64,32,16], 256-wide decode/decoder, hard
+    routing at inference."""
+    base = openlane_config(n_offsets=n_offsets)
+    model = dataclasses.replace(
+        base.model,
+        backbone=BackboneConfig(out_indices=(0, 1, 2)),
+        neck=NeckConfig(in_channels=(64, 128, 256), out_channels=(16, 32, 64),
+                        num_outs=3),
+        head=HeadConfig(
+            variant="multi",
+            fc_hidden_dim=256,
+            decoder_ffn_dim=512,
+            pos_encoding="sine",
+            pos_temperature=64.0,
+            pos_normalize=False,
+            separate_offset_head=False,
+            ms_sample_points=(24, 48, 96),
+            ms_channels=(64, 32, 16),
+        ),
+        routing="hard",
+    )
+    cfg = dataclasses.replace(base, model=model)
     return dataclasses.replace(cfg, **overrides) if overrides else cfg

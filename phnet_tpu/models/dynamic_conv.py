@@ -19,20 +19,29 @@ import jax.numpy as jnp
 
 
 class DynamicConv(nn.Module):
+    """V1 (``DynamicConv``, dynamic_head.py:6): roi channels == out dim.
+    V2 (``DynamicConvV2`` :61, the multi-scale variant): per-stage roi
+    channels map into a shared ``out_dim`` (256), ``param_reduction=4`` and
+    ``out_hidden = 2 * out_dim``; set those fields accordingly."""
+
     feat_size: int = 36  # P
-    hidden_dim: int = 64  # C
+    hidden_dim: int = 64  # C (roi feature channels)
     dim_factor: int = 2  # dim_dynamic = C * factor
     param_reduction: int = 8
     out_expand: int = 6
+    out_dim: int = 0  # 0 -> hidden_dim (V1); V2 uses reg_hidden_dim
+    out_hidden: int = 0  # 0 -> hidden_dim * out_expand
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, pro_feat: jnp.ndarray, roi_feat: jnp.ndarray) -> jnp.ndarray:
-        """pro_feat: [B, A, C]; roi_feat: [B, A, P, C] -> [B, A, C]."""
+        """pro_feat: [B, A, pro_dim]; roi_feat: [B, A, P, C] -> [B, A, out]."""
         c = self.hidden_dim
         d = c * self.dim_factor
         num_params = c * d
         hid = num_params // self.param_reduction
+        out_dim = self.out_dim or c
+        out_hidden = self.out_hidden or c * self.out_expand
 
         pro_feat = pro_feat.astype(self.dtype)
         roi_feat = roi_feat.astype(self.dtype)
@@ -58,7 +67,7 @@ class DynamicConv(nn.Module):
         feats = nn.relu(feats)
 
         flat = feats.reshape(*feats.shape[:-2], self.feat_size * c)
-        out = nn.Dense(c * self.out_expand, dtype=self.dtype, name="out_a")(flat)
-        out = nn.Dense(c, dtype=self.dtype, name="out_b")(out)
+        out = nn.Dense(out_hidden, dtype=self.dtype, name="out_a")(flat)
+        out = nn.Dense(out_dim, dtype=self.dtype, name="out_b")(out)
         out = nn.LayerNorm(dtype=self.dtype, name="norm3")(out)
         return out.astype(jnp.float32)

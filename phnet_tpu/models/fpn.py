@@ -5,11 +5,15 @@ with the active configuration: plain convs (no norm/act), nearest-neighbour
 top-down upsampling, 1x1 laterals + 3x3 output convs, and the same
 "drop leading inputs when given more levels than in_channels" behaviour
 (``fpn.py:113-116``).
+
+Per-level ``out_channels`` (a tuple) reproduces the multi-scale variant's
+``fpnV2`` (``libs/models/fpnV2.py``): each level keeps its own width and
+1x1 ``upsample_convs`` project channels down along the top-down path.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -24,7 +28,7 @@ def _upsample_nearest(x: jnp.ndarray, target_hw) -> jnp.ndarray:
 
 class FPN(nn.Module):
     in_channels: Tuple[int, ...] = (128, 256, 512)
-    out_channels: int = 64
+    out_channels: Union[int, Tuple[int, ...]] = 64
     num_outs: int = 3
     dtype: jnp.dtype = jnp.float32
 
@@ -34,17 +38,27 @@ class FPN(nn.Module):
         if len(inputs) > len(self.in_channels):
             inputs = inputs[len(inputs) - len(self.in_channels):]
 
+        n = len(inputs)
+        if isinstance(self.out_channels, int):
+            per_level = [self.out_channels] * n
+        else:
+            per_level = list(self.out_channels)
+
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+            nn.Conv(per_level[i], (1, 1), dtype=self.dtype,
                     name=f"lateral_{i}")(x)
             for i, x in enumerate(inputs)
         ]
         for i in range(len(laterals) - 1, 0, -1):
+            up = laterals[i]
+            if per_level[i] != per_level[i - 1]:
+                up = nn.Conv(per_level[i - 1], (1, 1), dtype=self.dtype,
+                             name=f"upsample_{i - 1}")(up)
             laterals[i - 1] = laterals[i - 1] + _upsample_nearest(
-                laterals[i], laterals[i - 1].shape[1:3]
+                up, laterals[i - 1].shape[1:3]
             )
         outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+            nn.Conv(per_level[i], (3, 3), padding=1, dtype=self.dtype,
                     name=f"fpn_{i}")(lat)
             for i, lat in enumerate(laterals)
         ]

@@ -68,7 +68,7 @@ def init_memory(cfg: ModelConfig, batch: int, window: int) -> MemoryState:
     slots = cfg.max_lanes + 1
     return MemoryState(
         values=jnp.zeros(
-            (batch, h.refine_layers, window, slots, 2 * h.fc_hidden_dim)
+            (batch, h.refine_layers, window, slots, h.attn_dim)
         ),
         mask=jnp.zeros((batch, window, slots), bool),
         t=jnp.int32(0),
@@ -106,7 +106,12 @@ class _FrameStep(nn.Module):
         mem_flat_vals = carry.values.reshape(b, s, window * slots, -1)
         mem_flat_mask = carry.mask.reshape(b, window * slots)
 
-        head = LaneHead(cfg, name="head")
+        if cfg.head.variant == "multi":
+            from .head_ms import MultiScaleLaneHead
+
+            head = MultiScaleLaneHead(cfg, name="head")
+        else:
+            head = LaneHead(cfg, name="head")
         out = head(feats, mem_flat_vals, mem_flat_mask, train=self.train_mode)
 
         spec = cfg.lane
