@@ -81,14 +81,21 @@ class LaneSpec:
 
 @dataclass(frozen=True)
 class BackboneConfig:
-    """ResNet backbone (reference ``libs/models/resnet.py:148-319``)."""
+    """Backbone: ResNet (reference ``libs/models/resnet.py:148-319``) or
+    RevCol (``revcolV2.py``, selected via ``cfg.backbone == 'revcol'``)."""
 
+    kind: str = "resnet"  # "resnet" | "revcol"
     depth: int = 18
     in_channels: Tuple[int, ...] = (64, 128, 256, 512)
     norm: str = "batch"  # "batch" (SyncBN via axis_name) or "group"
     # which of the four stage outputs feed the neck; the reference FPN drops
     # leading levels when given fewer in_channels (fpn.py:113-116)
     out_indices: Tuple[int, ...] = (1, 2, 3)
+    # revcol_tiny defaults (revcolV2.py:203-208)
+    revcol_layers: Tuple[int, ...] = (2, 2, 4, 2)
+    revcol_num_subnet: int = 4
+    revcol_drop_path: float = 0.1
+    revcol_save_memory: bool = True
 
 
 @dataclass(frozen=True)

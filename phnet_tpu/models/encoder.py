@@ -19,13 +19,26 @@ class Encoder(nn.Module):
     def __call__(self, frames: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         """frames: [N, H, W, 3] -> tuple of FPN levels (strides 8/16/32)."""
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
-        feats = ResNetBackbone(
-            depth=self.cfg.backbone.depth,
-            stage_channels=self.cfg.backbone.in_channels,
-            norm=self.cfg.backbone.norm,
-            dtype=dtype,
-            name="backbone",
-        )(frames.astype(dtype), train=train)
+        bcfg = self.cfg.backbone
+        if bcfg.kind == "revcol":
+            from .revcol import RevColBackbone
+
+            feats = RevColBackbone(
+                channels=bcfg.in_channels,
+                layers=bcfg.revcol_layers,
+                num_subnet=bcfg.revcol_num_subnet,
+                drop_path=bcfg.revcol_drop_path,
+                save_memory=bcfg.revcol_save_memory,
+                name="backbone",
+            )(frames.astype(dtype), train=train)
+        else:
+            feats = ResNetBackbone(
+                depth=bcfg.depth,
+                stage_channels=bcfg.in_channels,
+                norm=bcfg.norm,
+                dtype=dtype,
+                name="backbone",
+            )(frames.astype(dtype), train=train)
         feats = [feats[i] for i in self.cfg.backbone.out_indices]
         outs = FPN(
             in_channels=self.cfg.neck.in_channels,
