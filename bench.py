@@ -32,8 +32,9 @@ def main():
 
     import dataclasses
 
-    # bf16 matmuls + Pallas NMS (auto-selected on TPU)
-    cfg = dataclasses.replace(vil100_config().model, compute_dtype="bfloat16")
+    # bf16 matmuls + Pallas NMS (auto-selected on TPU) + partial scan unroll
+    cfg = dataclasses.replace(
+        vil100_config().model, compute_dtype="bfloat16", scan_unroll=1)
     model = PHNet(cfg)
 
     video_frames = 100  # VIL-100 clip length

@@ -208,6 +208,9 @@ class ModelConfig:
     # NMS implementation: "auto" (pallas on TPU, pure-jax elsewhere),
     # "pallas", or "jax"
     nms_backend: str = "auto"
+    # unroll factor of the temporal scan (trades compile time for loop
+    # overhead; 1 = plain lax.scan)
+    scan_unroll: int = 1
 
     @property
     def n_offsets(self) -> int:

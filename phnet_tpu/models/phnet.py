@@ -279,6 +279,7 @@ class PHNet(nn.Module):
             split_rngs={"params": False, "dropout": True},
             in_axes=0,
             out_axes=0,
+            unroll=cfg.scan_unroll,
         )
         final_mem, outs = scan(cfg=cfg, train_mode=train, name="frame")(
             mem0, (tuple(feats), labels_t)
