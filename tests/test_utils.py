@@ -193,3 +193,20 @@ def test_dynamic_k_assign():
     assert match[:, 2].sum() == 0  # invalid target unmatched
     assert match[:, 0].sum() >= 1 and match[:, 1].sum() >= 1
     assert np.all(match.sum(1) <= 1)  # each prior matched to <= 1 target
+
+
+def test_visualization(tmp_path):
+    from phnet_tpu.data import synthetic_clip
+    from phnet_tpu.geometry import Lane
+    from phnet_tpu.utils.visualize import render_frame, save_video_visualization
+
+    clip = synthetic_clip(seed=0, t=2, img_h=96, img_w=192)
+    pts = np.stack([np.linspace(0.3, 0.5, 8), np.linspace(0.2, 1.0, 8)], 1)
+    lanes = [[Lane(points=pts)]] * 2
+    img = render_frame(clip["frames"][0], lanes[0], clip["points"][0])
+    assert img.shape == (96, 192, 3) and img.dtype == np.uint8
+    paths = save_video_visualization(
+        clip["frames"], lanes, str(tmp_path), gt_points=clip["points"])
+    assert len(paths) == 2
+    import os
+    assert all(os.path.exists(p) for p in paths)
