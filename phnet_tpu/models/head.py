@@ -125,6 +125,7 @@ class LaneHead(nn.Module):
                 points=h.sample_points,
                 reduction=h.router_reduction,
                 blocks=h.router_blocks,
+                dtype=compute_dtype,
                 name=f"router_{s}",
             )
             for s in range(h.refine_layers)
@@ -270,7 +271,8 @@ class LaneHead(nn.Module):
 
             # router on stop-grad features (RouterV4.py:240)
             diff = self.routers[s](
-                jax.lax.stop_gradient(jnp.swapaxes(pooled, -1, -2))
+                jax.lax.stop_gradient(jnp.swapaxes(pooled, -1, -2)),
+                train=train,
             )[..., 0]  # [B, A]
             diffs.append(diff)
 

@@ -13,6 +13,12 @@ inference, exactly as the reference does.
 
 The router always sees stop-gradient features (``RouterV4.py:240``); its
 training signal comes only from the loss-blending term.
+
+TPU mapping: the residual block chain is bandwidth-bound (it re-streams the
+[A, C, P] volume dozens of times as separate fusions), so at inference it
+runs as one fused Pallas kernel (:mod:`phnet_tpu.ops.router_pallas`);
+training uses the mathematically identical XLA path (same parameters) so
+gradients need no hand-written backward.
 """
 
 from __future__ import annotations
@@ -21,43 +27,37 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.router_pallas import _conv3x3, _ln, fused_router_blocks
+
 
 class LayerNormCP(nn.Module):
     """LayerNorm over the joint (C, P) trailing dims with elementwise affine,
-    matching ``nn.LayerNorm([C, P])`` in the reference."""
+    matching ``nn.LayerNorm([C, P])`` in the reference. (Used by modules
+    outside the fused router.)"""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # x: [..., C, P]
+        dtype = x.dtype
         c, p = x.shape[-2], x.shape[-1]
-        mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
-        var = jnp.var(x, axis=(-2, -1), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(-2, -1), keepdims=True)
+        var = jnp.var(xf, axis=(-2, -1), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(dtype)
         scale = self.param("scale", nn.initializers.ones, (c, p))
         bias = self.param("bias", nn.initializers.zeros, (c, p))
-        return y * scale + bias
+        return y * scale.astype(dtype) + bias.astype(dtype)
 
 
-class DepthwiseAnchorConv(nn.Module):
-    """Per-anchor depthwise 3x3 conv over the (C, P) plane.
+def _ln_params_init(blocks: int, c: int, p: int):
+    def init(key, shape):
+        del key
+        assert shape == (2 + 4 * blocks, c, p)
+        arr = jnp.zeros(shape)
+        # scale entries (even offsets within each scale/bias pair) = 1
+        idx = [0] + [2 + 4 * b + o for b in range(blocks) for o in (0, 2)]
+        return arr.at[jnp.array(idx)].set(1.0)
 
-    Reference: ``nn.Conv2d(A, A, kernel_size=3, padding=1, groups=A)`` on
-    input [B, A, C, P] (``Router.py:57-62``).
-    """
-
-    num_anchors: int
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # x: [B, A, C, P] -> NHWC with channels=A: [B, C, P, A]
-        y = jnp.moveaxis(x, 1, -1)
-        y = nn.Conv(
-            features=self.num_anchors,
-            kernel_size=(3, 3),
-            padding=1,
-            feature_group_count=self.num_anchors,
-        )(y)
-        return jnp.moveaxis(y, -1, 1)
+    return init
 
 
 class AdaptiveRouter(nn.Module):
@@ -68,26 +68,58 @@ class AdaptiveRouter(nn.Module):
     points: int = 36
     reduction: int = 4
     blocks: int = 4
+    dtype: jnp.dtype = jnp.float32  # MLP compute dtype
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """feats: [B, A, C, P] (pre stop-gradient by caller) -> [B, A, 1]."""
-        x = LayerNormCP(name="pre_norm")(feats)
-        for b in range(self.blocks):
-            y = DepthwiseAnchorConv(self.num_anchors, name=f"dw{b}_conv1")(x)
-            y = LayerNormCP(name=f"dw{b}_norm1")(y)
-            y = nn.relu(y)
-            y = DepthwiseAnchorConv(self.num_anchors, name=f"dw{b}_conv2")(y)
-            y = LayerNormCP(name=f"dw{b}_norm2")(y)
-            x = nn.relu(y + x)
-        flat = x.reshape(*x.shape[:-2], self.channels * self.points)
-        hidden = self.channels * self.points // self.reduction
+        a, c, p = self.num_anchors, self.channels, self.points
+        # per-anchor conv taps (torch Conv2d groups=A kaiming-uniform-ish)
+        taps = self.param(
+            "taps",
+            lambda key, shape: jax.random.uniform(
+                key, shape, minval=-1.0 / 3.0, maxval=1.0 / 3.0),
+            (a, self.blocks * 2 * 9),
+        )
+        conv_bias = self.param(
+            "conv_bias", nn.initializers.zeros, (a, self.blocks * 2))
+        ln_params = self.param(
+            "ln_params", _ln_params_init(self.blocks, c, p),
+            (2 + 4 * self.blocks, c, p))
+
+        use_pallas = (
+            not train and self.blocks > 0 and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            run = lambda f: fused_router_blocks(  # noqa: E731
+                f, taps, conv_bias, ln_params, blocks=self.blocks)
+            x = jax.vmap(run)(feats.astype(jnp.float32))
+        else:
+            b = feats.shape[0]
+            x = feats.astype(jnp.float32).reshape(b * a, c, p)
+            taps_b = jnp.tile(taps, (b, 1))
+            bias_b = jnp.tile(conv_bias, (b, 1))
+            x = _ln(x, ln_params[0], ln_params[1])
+            for blk in range(self.blocks):
+                t1 = taps_b[:, (2 * blk) * 9 : (2 * blk + 1) * 9]
+                t2 = taps_b[:, (2 * blk + 1) * 9 : (2 * blk + 2) * 9]
+                o = 2 + 4 * blk
+                y = _conv3x3(x, t1, bias_b[:, 2 * blk])
+                y = _ln(y, ln_params[o], ln_params[o + 1])
+                y = jnp.maximum(y, 0.0)
+                y = _conv3x3(y, t2, bias_b[:, 2 * blk + 1])
+                y = _ln(y, ln_params[o + 2], ln_params[o + 3])
+                x = jnp.maximum(y + x, 0.0)
+            x = x.reshape(feats.shape)
+
+        x = x.reshape(*feats.shape[:-2], c * p).astype(self.dtype)
+        hidden = c * p // self.reduction
         tanh_gain = 5.0 / 3.0
         init = nn.initializers.variance_scaling(
             tanh_gain**2, "fan_avg", "uniform"
         )  # xavier_uniform with tanh gain (Router.py:70-74)
-        h = nn.Dense(hidden, kernel_init=init)(flat)
+        h = nn.Dense(hidden, kernel_init=init, dtype=self.dtype)(x)
         h = nn.relu(h)
-        h = nn.Dense(1, kernel_init=init)(h)
+        h = nn.Dense(1, kernel_init=init, dtype=self.dtype)(h)
         h = nn.relu(h)
-        return jax.nn.sigmoid(h)
+        return jax.nn.sigmoid(h.astype(jnp.float32))

@@ -1,0 +1,149 @@
+"""Fused Pallas kernel for the adaptive router's residual block chain.
+
+The router's four residual blocks (per-anchor depthwise 3x3 conv ->
+LayerNorm[C,P] -> relu -> conv -> LayerNorm, + residual;
+``Router.py:53-81``) are tiny bandwidth-bound ops: as separate XLA fusions
+they re-stream the [A, C, P] feature volume dozens of times per frame.
+
+Kernel geometry: anchors ride the TPU *lane* dimension. The feature volume
+is laid out as [C*P, A] with 128-anchor lane blocks; the depthwise 3x3
+becomes nine statically-shifted partial-row accumulations into a VMEM
+scratch (shift along C = +-P rows, along P = +-1 row; out-of-plane rows
+masked by row iotas), and the per-anchor LayerNorm is a column reduction.
+The whole chain runs on two ping-pong scratch buffers — each anchor plane
+is read from HBM once and written once, with a small, fixed VMEM footprint.
+
+Forward-only by design: at inference the router picks the branch; in
+training its parameter gradients flow through the XLA reference path in
+:class:`phnet_tpu.models.router.AdaptiveRouter` (same parameters, same
+math — equivalence-tested).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# --- XLA reference math (training path; also the equivalence oracle) -----
+def _ln(x, scale, bias, eps=1e-5):
+    """LayerNorm over the (C, P) plane per anchor; x: [T, C, P]."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale[None] + bias[None]
+
+
+def _conv3x3(x, taps, bias):
+    """Per-anchor depthwise 3x3 over (C, P) with zero padding.
+
+    x: [T, C, P]; taps: [T, 9]; bias: [T]."""
+    t, c, p = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
+    y = jnp.zeros_like(x)
+    k = 0
+    for i in range(3):
+        for j in range(3):
+            y = y + taps[:, k][:, None, None] * jax.lax.slice(
+                xp, (0, i, j), (t, i + c, j + p))
+            k += 1
+    return y + bias[:, None, None]
+
+
+# --- Pallas kernel ---------------------------------------------------------
+def _router_blocks_kernel(x_ref, taps_ref, bias_ref, lnp_ref, out_ref,
+                          xs_ref, ys_ref, *, blocks: int, c: int, p: int):
+    """x/out: [C*P, An] lane block; taps: [blocks*18, An]; bias:
+    [blocks*2, An]; lnp: [2 + blocks*4, C*P, 1]; xs/ys: VMEM scratch."""
+    cp, a = x_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cp, 1), 0)
+    c_idx = rows // p
+    p_idx = rows % p
+    offsets = [(dc, dp) for dc in (-1, 0, 1) for dp in (-1, 0, 1)]
+    masks = [
+        (
+            (c_idx + dc >= 0) & (c_idx + dc < c)
+            & (p_idx + dp >= 0) & (p_idx + dp < p)
+        ).astype(jnp.float32)
+        for dc, dp in offsets
+    ]
+
+    def ln(x, j):
+        mean = jnp.mean(x, axis=0, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=0, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + 1e-5) * lnp_ref[j] + lnp_ref[j + 1]
+
+    def conv_into(dst_ref, src_ref, tap_base, bias_idx):
+        """dst <- depthwise3x3(src) + bias, as nine statically shifted
+        partial-row accumulations (no full-array shifted temporaries)."""
+        dst_ref[:] = jnp.broadcast_to(bias_ref[pl.ds(bias_idx, 1), :], (cp, a))
+        for k, (dc, dp) in enumerate(offsets):
+            off = dc * p + dp
+            lo = max(0, -off)
+            hi = cp - max(0, off)
+            n = hi - lo
+            tap = taps_ref[pl.ds(tap_base + k, 1), :]
+            m = jax.lax.slice(masks[k], (lo, 0), (hi, 1))
+            dst_ref[pl.ds(lo, n), :] = dst_ref[pl.ds(lo, n), :] + (
+                tap * m
+            ) * src_ref[pl.ds(lo + off, n), :]
+
+    xs_ref[:] = ln(x_ref[:], 0)
+    for b in range(blocks):
+        o = 2 + 4 * b
+        conv_into(ys_ref, xs_ref, 18 * b, 2 * b)
+        ys_ref[:] = jnp.maximum(ln(ys_ref[:], o), 0.0)
+        conv_into(out_ref, ys_ref, 18 * b + 9, 2 * b + 1)
+        xs_ref[:] = jnp.maximum(ln(out_ref[:], o + 2) + xs_ref[:], 0.0)
+    out_ref[:] = xs_ref[:]
+
+
+@partial(jax.jit, static_argnames=("blocks", "interpret"))
+def fused_router_blocks(
+    feats: jnp.ndarray,   # [A, C, P] float32
+    taps: jnp.ndarray,    # [A, blocks*2*9]
+    biases: jnp.ndarray,  # [A, blocks*2]
+    ln_params: jnp.ndarray,  # [2 + blocks*4, C, P]
+    blocks: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    a, c, p = feats.shape
+    cp = c * p
+    lane_block = 128
+    a_pad = -(-a // lane_block) * lane_block
+    x = feats.astype(jnp.float32).transpose(1, 2, 0).reshape(cp, a)
+    x = jnp.pad(x, ((0, 0), (0, a_pad - a)))
+    taps_t = jnp.pad(taps.astype(jnp.float32).T, ((0, 0), (0, a_pad - a)))
+    bias_t = jnp.pad(biases.astype(jnp.float32).T, ((0, 0), (0, a_pad - a)))
+    lnp = ln_params.astype(jnp.float32).reshape(-1, cp, 1)
+
+    out = pl.pallas_call(
+        partial(_router_blocks_kernel, blocks=blocks, c=c, p=p),
+        out_shape=jax.ShapeDtypeStruct((cp, a_pad), jnp.float32),
+        grid=(a_pad // lane_block,),
+        in_specs=[
+            pl.BlockSpec((cp, lane_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((taps_t.shape[0], lane_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bias_t.shape[0], lane_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lnp.shape[0], cp, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cp, lane_block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((cp, lane_block), jnp.float32),
+            pltpu.VMEM((cp, lane_block), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, taps_t, bias_t, lnp)
+    return out[:, :a].reshape(c, p, a).transpose(2, 0, 1)

@@ -1,0 +1,69 @@
+"""Fused Pallas router kernel vs the XLA reference path (same params)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from phnet_tpu.models.router import AdaptiveRouter
+from phnet_tpu.ops.router_pallas import fused_router_blocks, _conv3x3, _ln
+
+
+def test_fused_router_matches_xla_interpret():
+    a, c, p, blocks = 32, 16, 12, 4
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(a, c, p)).astype(np.float32))
+    taps = jnp.asarray(rng.normal(size=(a, blocks * 18)).astype(np.float32)) * 0.2
+    biases = jnp.asarray(rng.normal(size=(a, blocks * 2)).astype(np.float32)) * 0.1
+    lnp = jnp.asarray(rng.normal(size=(2 + 4 * blocks, c, p)).astype(np.float32))
+
+    out_pl = fused_router_blocks(feats, taps, biases, lnp, blocks=blocks,
+                                 interpret=True)
+
+    # XLA reference: same math
+    x = _ln(feats, lnp[0], lnp[1])
+    for b in range(blocks):
+        t1 = taps[:, (2 * b) * 9:(2 * b + 1) * 9]
+        t2 = taps[:, (2 * b + 1) * 9:(2 * b + 2) * 9]
+        o = 2 + 4 * b
+        y = _conv3x3(x, t1, biases[:, 2 * b])
+        y = _ln(y, lnp[o], lnp[o + 1])
+        y = jnp.maximum(y, 0.0)
+        y = _conv3x3(y, t2, biases[:, 2 * b + 1])
+        y = _ln(y, lnp[o + 2], lnp[o + 3])
+        x = jnp.maximum(y + x, 0.0)
+
+    # bf16 kernel vs f32 reference: tight on average, loose on the tail
+    diff = np.abs(np.array(out_pl) - np.array(x))
+    assert diff.mean() < 0.01, diff.mean()
+    assert diff.max() < 0.5, diff.max()
+
+
+def test_router_train_eval_paths_agree():
+    """XLA (train) path == kernel math at eval (on CPU the eval path also
+    uses XLA, so this checks the train/eval flag plumbing + determinism)."""
+    router = AdaptiveRouter(num_anchors=32, channels=16, points=12)
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.normal(size=(1, 32, 16, 12)).astype(np.float32))
+    v = router.init(jax.random.key(0), feats)
+    out_train = router.apply(v, feats, train=True)
+    out_eval = router.apply(v, feats, train=False)
+    np.testing.assert_allclose(np.array(out_train), np.array(out_eval),
+                               atol=1e-5)
+    o = np.array(out_eval)
+    assert o.min() >= 0.5 and o.max() < 1.0
+
+
+def test_router_gradients_flow():
+    router = AdaptiveRouter(num_anchors=32, channels=16, points=12)
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.normal(size=(1, 32, 16, 12)).astype(np.float32))
+    v = router.init(jax.random.key(0), feats)
+
+    def loss(params):
+        return router.apply({"params": params}, feats, train=True).sum()
+
+    g = jax.grad(loss)(v["params"])
+    norms = [float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)]
+    assert sum(norms) > 0
