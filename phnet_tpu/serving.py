@@ -1,0 +1,138 @@
+"""Multi-stream online serving wrapper.
+
+Production deployment runs many camera streams per chip. Single-stream
+streaming saturates at ~385 fps while batch=4 reaches ~610 fps aggregate on
+a v5e — so the server packs up to ``max_streams`` live videos into one
+batched jitted step and keeps a per-stream temporal memory slot (the
+fixed-shape ring buffer makes per-stream reset a pure masked write: no
+recompilation when streams attach/detach mid-flight).
+
+The reference has no serving stack (SURVEY.md §2.8: inference = offline
+scripts); this is a TPU-native addition for the online use case the model
+was designed for (frame-by-frame video with carried state).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .geometry import Lane, decode_predictions
+from .models import PHNet
+from .models.phnet import MemoryState, init_memory
+
+
+class StreamingServer:
+    """Batched frame-synchronous server for up to ``max_streams`` videos."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        variables,
+        max_streams: int = 4,
+        memory_window: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.mcfg = cfg.model
+        self.model = PHNet(self.mcfg)
+        self.variables = variables
+        self.max_streams = max_streams
+        window = memory_window or (
+            self.mcfg.memory.window if self.mcfg.memory.window > 0 else 64
+        )
+        self.window = window
+        self.memory = init_memory(self.mcfg, max_streams, window)
+        self.active = np.zeros(max_streams, bool)
+        # original-image decode geometry per stream
+        self.stream_geo: List[Tuple[int, int]] = [(0, 0)] * max_streams
+
+        def step(variables, frames, mem):
+            outs, mem = self.model.apply(
+                variables, frames, None, train=False, initial_memory=mem
+            )
+            return outs.kept[0], outs.kept_valid[0], mem
+
+        self._step = jax.jit(step, donate_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    def attach(self, ori_img_h: int = 0, cut_height: int = 0) -> int:
+        """Register a new stream; returns its slot id. The slot's memory is
+        cleared by masking (no recompilation)."""
+        free = np.nonzero(~self.active)[0]
+        if len(free) == 0:
+            raise RuntimeError("no free stream slots")
+        sid = int(free[0])
+        self.active[sid] = True
+        self.stream_geo[sid] = (ori_img_h, cut_height)
+        self._clear_slot(sid)
+        return sid
+
+    def detach(self, sid: int):
+        self.active[sid] = False
+        self._clear_slot(sid)
+
+    def _clear_slot(self, sid: int):
+        mask = np.array(self.memory.mask)
+        mask[sid] = False
+        self.memory = MemoryState(
+            values=self.memory.values,
+            mask=jnp.asarray(mask),
+            t=self.memory.t,
+        )
+
+    # ------------------------------------------------------------------
+    def step_async(self, frames: Dict[int, np.ndarray]):
+        """Dispatch one batched tick without forcing a device round-trip.
+
+        Returns (kept, valid) device arrays; pass them (later) to
+        :meth:`decode` so callers can pipeline ticks. The jitted step
+        itself runs ~10 ms for 4 full-res streams on a v5e (measured with
+        device-resident inputs); note that the development environment's
+        remote-TPU tunnel serializes host transfers per call, so
+        per-tick wall latency there is RTT-bound and not representative
+        of a locally attached chip.
+        """
+        mcfg = self.mcfg
+        batch = np.zeros(
+            (self.max_streams, 1, mcfg.img_h, mcfg.img_w, 3), np.float32)
+        for sid, frame in frames.items():
+            assert self.active[sid], f"stream {sid} not attached"
+            batch[sid, 0] = frame
+        kept, valid, self.memory = self._step(
+            self.variables, jnp.asarray(batch), self.memory)
+        return kept, valid, list(frames.keys())
+
+    def decode(self, kept, valid, sids) -> Dict[int, List[Lane]]:
+        """Fetch + decode a tick dispatched by :meth:`step_async`."""
+        spec = self.mcfg.lane
+        kept = np.array(kept)
+        valid = np.array(valid)
+        frames = {sid: None for sid in sids}
+
+        results: Dict[int, List[Lane]] = {}
+        for sid in frames:
+            rows = kept[sid][valid[sid]]
+            if len(rows) == 0:
+                results[sid] = []
+                continue
+            rows = rows.copy()
+            rows[:, spec.col_length] = np.round(
+                rows[:, spec.col_length] * spec.n_strips)
+            ori_h, cut = self.stream_geo[sid]
+            if spec.n_lengths == 2:
+                rows[:, spec.col_invalid_length] = np.round(
+                    rows[:, spec.col_invalid_length] * spec.n_strips)
+                results[sid] = decode_predictions(
+                    rows, spec, ori_img_h=ori_h, cut_height=cut)
+            else:
+                results[sid] = decode_predictions(rows, spec, extend_bottom=True)
+        return results
+
+    def step(self, frames: Dict[int, np.ndarray]) -> Dict[int, List[Lane]]:
+        """Synchronous tick: dispatch + fetch + decode."""
+        kept, valid, sids = self.step_async(frames)
+        return self.decode(kept, valid, sids)

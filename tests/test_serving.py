@@ -1,0 +1,83 @@
+"""Multi-stream serving wrapper tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from phnet_tpu.config import Config
+from phnet_tpu.data import synthetic_clip
+from phnet_tpu.models import PHNet
+from phnet_tpu.serving import StreamingServer
+
+from test_model import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def server_setup():
+    mcfg = tiny_cfg(window=4)
+    cfg = Config(model=mcfg)
+    model = PHNet(mcfg)
+    frames0 = jnp.zeros((2, 1, mcfg.img_h, mcfg.img_w, 3))
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames0)
+    return cfg, variables
+
+
+def test_streaming_server_lifecycle(server_setup):
+    cfg, variables = server_setup
+    server = StreamingServer(cfg, variables, max_streams=2, memory_window=4)
+    s0 = server.attach()
+    s1 = server.attach()
+    assert (s0, s1) == (0, 1)
+    with pytest.raises(RuntimeError):
+        server.attach()
+
+    clips = [
+        synthetic_clip(seed=i, t=3, img_h=cfg.model.img_h,
+                       img_w=cfg.model.img_w, spec=cfg.model.lane,
+                       max_lanes=cfg.model.max_lanes)
+        for i in range(2)
+    ]
+    for t in range(3):
+        out = server.step({s0: clips[0]["frames"][t],
+                           s1: clips[1]["frames"][t]})
+        assert set(out.keys()) == {s0, s1}
+        for lanes in out.values():
+            assert isinstance(lanes, list)
+    assert int(server.memory.t) == 3
+
+    # detach clears the slot's memory mask; slot is reusable
+    server.detach(s1)
+    assert not np.array(server.memory.mask)[s1].any()
+    s2 = server.attach()
+    assert s2 == s1
+
+    # stepping an unattached stream raises
+    server.detach(s0)
+    with pytest.raises(AssertionError):
+        server.step({s0: clips[0]["frames"][0]})
+
+
+def test_streaming_server_matches_pipeline(server_setup):
+    """Frame-by-frame serving == whole-clip inference for the same stream."""
+    cfg, variables = server_setup
+    mcfg = cfg.model
+    clip = synthetic_clip(seed=7, t=4, img_h=mcfg.img_h, img_w=mcfg.img_w,
+                          spec=mcfg.lane, max_lanes=mcfg.max_lanes)
+
+    server = StreamingServer(cfg, variables, max_streams=2, memory_window=4)
+    sid = server.attach()
+    served = [server.step({sid: clip["frames"][t]})[sid] for t in range(4)]
+
+    from phnet_tpu.pipeline import InferencePipeline
+    pipe = InferencePipeline(cfg, variables, chunk=4, memory_window=4)
+    pipe._ori_h = 0
+    pipe._cut = 0
+    whole, _ = pipe.run_video(np.asarray(clip["frames"]))
+
+    for lanes_s, lanes_w in zip(served, whole):
+        assert len(lanes_s) == len(lanes_w)
+        for a, b in zip(lanes_s, lanes_w):
+            np.testing.assert_allclose(a.points, b.points, atol=1e-4)
