@@ -41,17 +41,24 @@ def resize_with_lanes(img: np.ndarray, lanes: Lanes, out_h: int, out_w: int
     return out, new_lanes
 
 
-def _clip_lanes(lanes: Lanes, h: int, w: int) -> Lanes:
+def _clip_lanes(lanes: Lanes, h: int, w: int,
+                ids: Optional[Sequence[int]] = None
+                ) -> Tuple[Lanes, List[int]]:
     """Drop out-of-image points (approximation of imgaug's
     ``clip_out_of_image_``; the label encoder re-extrapolates to the image
-    bottom anyway, transformV4.py:141-149)."""
-    out = []
-    for l in lanes:
+    bottom anyway, transformV4.py:141-149). A lane left with <2 in-image
+    points is dropped *together with its id* so callers keying label rows
+    by lane id stay aligned (reference keys rows by ``lane_id``,
+    transformV4.py:183-216)."""
+    out: Lanes = []
+    out_ids: List[int] = []
+    for i, l in enumerate(lanes):
         keep = (l[:, 0] >= 0) & (l[:, 0] < w) & (l[:, 1] >= 0) & (l[:, 1] < h)
         pts = l[keep]
         if len(pts) >= 2:
             out.append(pts)
-    return out
+            out_ids.append(i if ids is None else ids[i])
+    return out, out_ids
 
 
 @dataclass
@@ -83,7 +90,10 @@ class TrainAugment:
                    rotate_deg=5.0, scale=(0.9, 1.1),
                    rng=rng or np.random.default_rng())
 
-    def __call__(self, img: np.ndarray, lanes: Lanes) -> Tuple[np.ndarray, Lanes]:
+    def __call__(self, img: np.ndarray, lanes: Lanes,
+                 ids: Optional[Sequence[int]] = None):
+        """Returns ``(img, lanes)`` or, when ``ids`` is given, ``(img,
+        lanes, ids)`` with the ids of dropped lanes removed in sync."""
         rng = self.rng
         img, lanes = resize_with_lanes(img, lanes, self.img_h, self.img_w)
         h, w = img.shape[:2]
@@ -135,5 +145,7 @@ class TrainAugment:
                 new_lanes.append(pts.astype(np.float32))
             lanes = new_lanes
 
-        lanes = _clip_lanes(lanes, h, w)
-        return img, lanes
+        lanes, kept_ids = _clip_lanes(lanes, h, w, ids)
+        if ids is None:
+            return img, lanes
+        return img, lanes, kept_ids

@@ -129,10 +129,10 @@ class VIL100Dataset:
                 lanes.append(pts)
                 lane_ids.append(lane["lane_id"] - 1)
             if self.augment is not None and self.train:
-                img, lanes_t = self.augment(img, lanes)
-                # augment may drop lanes; keep id alignment by position
-                lane_ids = lane_ids[: len(lanes_t)]
-                lanes = lanes_t
+                # ids travel with their lanes: a lane clipped away by the
+                # affine drops its own id (reference keys label rows by
+                # lane_id, transformV4.py:183-216)
+                img, lanes, lane_ids = self.augment(img, lanes, lane_ids)
             else:
                 img, lanes = resize_with_lanes(
                     img, lanes, self.cfg.img_h, self.cfg.img_w)

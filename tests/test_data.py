@@ -98,6 +98,63 @@ def test_vil_dataset_with_augment(vil_tree):
     assert np.isfinite(clip["labels"]).all()
 
 
+def test_augment_keeps_ids_aligned_when_lane_dropped():
+    """A lane clipped out mid-list must drop its own id, not shift the
+    tail ids (reference keys label rows by lane_id, transformV4.py:183-216)."""
+    aug = TrainAugment(img_h=96, img_w=192, rng=np.random.default_rng(0),
+                       p_hflip=0, p_channel_shuffle=0, p_brightness=0,
+                       p_hue_sat=0, p_blur=0, p_affine=0)
+    img = np.zeros((96, 192, 3), np.uint8)
+    good = np.array([[50.0, 90.0], [60.0, 40.0]], np.float32)
+    outside = np.array([[-50.0, 90.0], [-60.0, 40.0]], np.float32)
+    good2 = np.array([[150.0, 90.0], [140.0, 40.0]], np.float32)
+    _, lanes, ids = aug(img, [good, outside, good2], ids=[7, 8, 9])
+    assert ids == [7, 9]
+    assert len(lanes) == 2
+    np.testing.assert_allclose(lanes[1][:, 0], [150.0, 140.0])
+    # ids=None keeps the 2-tuple return for positional callers
+    _, lanes2 = aug(img, [good, outside, good2])
+    assert len(lanes2) == 2
+
+
+def test_vil_lane_ids_survive_clipped_middle_lane(vil_tree, tmp_path):
+    """Regression for the lane-id misalignment: when augmentation drops a
+    *middle* lane, the surviving lanes must keep their own label rows."""
+    root, (ori_h, ori_w) = vil_tree
+    vid = "0_Road001_Trim001"
+    jdir = os.path.join(root, "VIL100", "Json", vid)
+    cut = int(ori_h * 0.35)
+    # lane_id 2's points all sit above the crop line -> clipped away by
+    # the augment pipeline; lane_ids 1 and 3 survive.
+    sky = [[float(400 + 2 * k), float(20 + 10 * k)] for k in range(5)]
+    assert max(p[1] for p in sky) < cut
+    for name in sorted(os.listdir(jdir)):
+        with open(os.path.join(jdir, name)) as f:
+            anno = json.load(f)
+        lanes = anno["annotations"]["lane"]
+        lanes[1]["lane_id"] = 3  # original middle lane becomes id 3
+        lanes.insert(1, {"lane_id": 2, "occlusion": 0, "points": sky})
+        with open(os.path.join(jdir, name), "w") as f:
+            json.dump(anno, f)
+
+    cfg = DataConfig(root=root, img_h=96, img_w=192, cut_scale=0.35, max_lanes=8)
+    spec = LaneSpec(36, 2)
+    aug = TrainAugment(img_h=96, img_w=192, rng=np.random.default_rng(0),
+                       p_hflip=0, p_channel_shuffle=0, p_brightness=0,
+                       p_hue_sat=0, p_blur=0, p_affine=0)
+    ds = VIL100Dataset(cfg, spec, train=True, sampled_frames=2,
+                       samples_per_video=1, augment=aug)
+    labels = ds[0]["labels"]
+    # rows 0 and 2 (lane_ids 1 and 3) valid; row 1 (dropped lane) empty
+    np.testing.assert_array_equal(labels[:, 0, 1], 1.0)
+    np.testing.assert_array_equal(labels[:, 1, 1], 0.0)
+    np.testing.assert_array_equal(labels[:, 2, 1], 1.0)
+    # the surviving lane 3 really is the right-hand lane (x ~ 650/960 scale)
+    xs = labels[0, 2, spec.col_xs:]
+    valid_xs = xs[xs > -1e4]
+    assert valid_xs.size > 0 and valid_xs.mean() > 96  # right half of 192px
+
+
 @pytest.fixture
 def ol_tree(tmp_path):
     root = tmp_path / "dataset"
