@@ -236,9 +236,13 @@ class LossConfig:
     # "blend_cls" = OL: router blends cls loss only; reg/iou of both branches
     #               are summed (loss4OLV3.py:104-123)
     style: str = "blend_all"
-    # OL uses the CLRerNet width-adaptive LaneIoULoss (loss4OLV3.py:28)
+    # OL uses the CLRerNet width-adaptive LaneIoULoss (loss4OLV3.py:28),
+    # constructed with its DEFAULT geometry img_h=400, img_w=960
+    # (dynamic_assignV2.py:56) — not the model's image size
     use_lane_iou: bool = False
     lane_iou_width: float = 7.5 / 768.0
+    lane_iou_img_h: int = 400
+    lane_iou_img_w: int = 960
     assigner: str = "hungarian"  # "hungarian" (parity) or "dynamic_k" (fast)
 
 

@@ -7,6 +7,20 @@
 // count TP at IoU > threshold. OpenMP parallelizes over frames.
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this image).
+//
+// Intentional deviations from the reference binary (verified equivalent on
+// thresholded counts by tests/test_native_eval.py against the independent
+// python metric; per-pair IoUs agree to a few 1e-3):
+//  * spline: reference uses per-segment cubic splines sampled 50x per input
+//    segment (spline.cpp splineInterpTimes); we use one natural cubic
+//    spline over the whole polyline parametrized by chord length, sampled
+//    at ~1px arc steps. 2-point lanes stay straight segments (same as
+//    lane_compare.cpp:23-28).
+//  * raster: reference draws with cv::line(thickness=w) whose caps/joins
+//    are OpenCV-rounded; we stamp round-capped thick segments directly.
+//    Near-threshold pairs can differ by <1e-2 IoU; counts match elsewhere.
+//  * matching: same Hungarian objective as counter.cpp:139-161 (maximize
+//    summed similarity, TP at IoU > threshold).
 
 #include <algorithm>
 #include <cmath>

@@ -36,6 +36,13 @@ def smooth_l1(x: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
     return jnp.where(absx < beta, 0.5 * absx**2 / beta, absx - 0.5 * beta)
 
 
+def torch_median(x: jnp.ndarray) -> jnp.ndarray:
+    """``torch.median`` of a vector: the LOWER of the two middle values for
+    even length (numpy/jnp.median averages them — a real numeric difference
+    for the criterion's 240-anchor delta, ``lossV5.py:204``)."""
+    return jnp.sort(x)[(x.shape[0] - 1) // 2]
+
+
 class LaneCriterion:
     def __init__(self, cfg: ModelConfig, loss_cfg: LossConfig):
         self.cfg = cfg
@@ -53,13 +60,24 @@ class LaneCriterion:
             )
 
     # ------------------------------------------------------------------
-    def _branch_loss(self, preds, label, valid):
+    def _branch_loss(self, preds, label, valid, matched_all=None):
         """One frame, one branch.
 
-        preds: [S, A, dim]; label: [L, dim]; valid: [L] bool.
-        Returns (cls_vec [A], reg_vec [L], iou_vec [L], matched_last [L],
-        reg_scalar, iou_scalar) — vec variants feed the VIL per-anchor blend,
-        scalars feed the OL style.
+        preds: [S, A, dim]; label: [L, dim]; valid: [L] bool;
+        matched_all: optional precomputed per-stage assignment [S, L] — when
+        given, the Hungarian solve is skipped (the model scan already solved
+        it for the memory write, mirroring the reference's single
+        criterion->saveMemory assignment, RouterV4.py:495-507).
+        Returns (cls_vec [A], reg_vec [L], iou_vec [L], matched_sorted [L],
+        valid_sorted [L], reg_scalar, iou_scalar).
+
+        Ordinal contract (``lossV5.py:126-171``): the reference accumulates
+        the per-stage reg/iou vectors POSITIONALLY in scipy's
+        sorted-matched-prior order (position i of each stage's vector is the
+        i-th smallest matched prior of *that* stage), then scatters the sum
+        at the LAST stage's sorted rows. reg_vec/iou_vec here follow that
+        order; matched_sorted/valid_sorted are the last stage's sorted
+        prior indices and their validity.
         """
         cfg, spec = self.cfg, self.cfg.lane
         s, a, _ = preds.shape
@@ -70,12 +88,23 @@ class LaneCriterion:
         cls_vec = jnp.zeros((a,))
         reg_vec = jnp.zeros((valid.shape[0],))
         iou_vec = jnp.zeros((valid.shape[0],))
-        matched_last = jnp.zeros((valid.shape[0],), jnp.int32)
+        matched_sorted = jnp.zeros((valid.shape[0],), jnp.int32)
+        valid_sorted = valid
 
         for st in range(s):
             pred = preds[st]
-            matched = assign_frame(pred, label, valid, spec, cfg.img_w, cfg.img_h)
-            matched_last = matched
+            if matched_all is None:
+                matched = assign_frame(
+                    pred, label, valid, spec, cfg.img_w, cfg.img_h)
+            else:
+                matched = matched_all[st]
+            # scipy's row indices come out sorted ascending; order this
+            # stage's per-target losses the same way (invalid rows sink to
+            # the tail; stable argsort keeps them after all valid rows)
+            sort_key = jnp.where(valid, matched, a)
+            order = jnp.argsort(sort_key)
+            matched_sorted = jnp.clip(matched[order], 0, a - 1)
+            valid_sorted = valid[order]
 
             cls_target = (
                 jnp.zeros((a,), jnp.int32).at[matched].add(valid.astype(jnp.int32))
@@ -90,16 +119,19 @@ class LaneCriterion:
             reg_tgt = label[:, 2 : 2 + n_reg] * self.reg_scale
             reg_l = smooth_l1(reg_pred - reg_tgt).mean(-1)  # [L]
             reg_l = jnp.where(valid, reg_l, 0.0)
-            reg_vec = reg_vec + reg_l / n_t
+            reg_vec = reg_vec + reg_l[order] / n_t
 
             pred_xs_px = mrows[:, spec.col_xs :] * (cfg.img_w - 1)
             tgt_xs_px = label[:, spec.col_xs :]
             if self.loss.use_lane_iou:
-                # CLRerNet LaneIoU on relative coords (loss4OLV3.py:74-77)
+                # CLRerNet LaneIoU on relative coords (loss4OLV3.py:74-77).
+                # The reference constructs LaneIoULoss() with its DEFAULT
+                # img_h=400, img_w=960 (dynamic_assignV2.py:56), NOT the
+                # model's 384x768 — reproduced via loss_cfg.lane_iou_img_*.
                 iou = lane_iou_aligned(
                     pred_xs_px / cfg.img_w,
                     tgt_xs_px / cfg.img_w,
-                    cfg.img_h, cfg.img_w,
+                    self.loss.lane_iou_img_h, self.loss.lane_iou_img_w,
                     lane_width=self.loss.lane_iou_width,
                 )
             else:
@@ -107,7 +139,7 @@ class LaneCriterion:
                     pred_xs_px, tgt_xs_px, cfg.img_w, self.loss.iou_length
                 )
             iou_l = jnp.where(valid, 1.0 - iou, 0.0)
-            iou_vec = iou_vec + iou_l / n_t
+            iou_vec = iou_vec + iou_l[order] / n_t
 
         stages = float(s)
         cls_vec = cls_vec / stages
@@ -117,48 +149,53 @@ class LaneCriterion:
         # stages then /stages — identical to mean of the masked vec * n_t / n_t
         reg_scalar = reg_vec.sum()
         iou_scalar = iou_vec.sum()
-        return cls_vec, reg_vec, iou_vec, matched_last, reg_scalar, iou_scalar
+        return (cls_vec, reg_vec, iou_vec, matched_sorted, valid_sorted,
+                reg_scalar, iou_scalar)
 
-    def _inst_loss(self, cls_vec, reg_vec, iou_vec, matched_last, valid):
+    def _inst_loss(self, cls_vec, reg_vec, iou_vec, matched_sorted,
+                   valid_sorted):
         """Per-anchor instance loss (``lossV5.py:186-192``):
-        cls everywhere + (reg+iou) scattered at the last stage's matches."""
+        cls everywhere + (reg+iou) scattered at the last stage's sorted
+        matched rows (positions past the valid count add zero)."""
         inst = cls_vec * self.loss.cls_weight
         upd = (
             reg_vec * self.loss.reg_weight + iou_vec * self.loss.iou_weight
-        ) * valid.astype(cls_vec.dtype)
-        return inst.at[matched_last].add(upd)
+        ) * valid_sorted.astype(cls_vec.dtype)
+        return inst.at[matched_sorted].add(upd)
 
     # ------------------------------------------------------------------
-    def frame_loss(self, pred_fir, pred_sec, diff, label) -> Tuple[jnp.ndarray, Dict]:
-        """Loss of one frame. pred_*: [S, A, dim]; diff: [S, A]; label [L, dim]."""
+    def frame_loss(self, pred_fir, pred_sec, diff, label,
+                   matched_sec=None) -> Tuple[jnp.ndarray, Dict]:
+        """Loss of one frame. pred_*: [S, A, dim]; diff: [S, A]; label [L, dim];
+        matched_sec: optional [S, L] precomputed second-branch assignment."""
         valid = label[:, 1] == 1.0
         a_out = self._branch_loss(pred_fir, label, valid)
-        b_out = self._branch_loss(pred_sec, label, valid)
+        b_out = self._branch_loss(pred_sec, label, valid, matched_sec)
         diff_frame = diff.mean(axis=0)  # [A]
 
         if self.loss.style == "blend_all":
-            loss_a = self._inst_loss(a_out[0], a_out[1], a_out[2], a_out[3], valid)
-            loss_b = self._inst_loss(b_out[0], b_out[1], b_out[2], b_out[3], valid)
-            delta = jax.lax.stop_gradient(jnp.median(loss_a - loss_b))
+            loss_a = self._inst_loss(*a_out[:5])
+            loss_b = self._inst_loss(*b_out[:5])
+            delta = jax.lax.stop_gradient(torch_median(loss_a - loss_b))
             loss_a = loss_a - delta / 2.0
             loss_b = loss_b + delta / 2.0
             total = jnp.sum((1.0 - diff_frame) * loss_a + diff_frame * loss_b)
         else:  # blend_cls (loss4OLV3.py:104-123)
             cls_a, cls_b = a_out[0], b_out[0]
-            delta = jax.lax.stop_gradient(jnp.median(cls_a - cls_b))
+            delta = jax.lax.stop_gradient(torch_median(cls_a - cls_b))
             cls_blend = jnp.sum(
                 (1.0 - diff_frame) * (cls_a - delta / 2.0)
                 + diff_frame * (cls_b + delta / 2.0)
             )
             total = (
-                (a_out[4] + b_out[4]) * self.loss.reg_weight
-                + (a_out[5] + b_out[5]) * self.loss.iou_weight
+                (a_out[5] + b_out[5]) * self.loss.reg_weight
+                + (a_out[6] + b_out[6]) * self.loss.iou_weight
                 + cls_blend * self.loss.cls_weight
             )
         metrics = {
             "cls": a_out[0].sum() + b_out[0].sum(),
-            "reg": a_out[4] + b_out[4],
-            "iou": a_out[5] + b_out[5],
+            "reg": a_out[5] + b_out[5],
+            "iou": a_out[6] + b_out[6],
         }
         return total, metrics
 
@@ -171,14 +208,23 @@ class LaneCriterion:
         ``trainVIL.py:238-243``) and summed metrics.
         """
         labels_t = labels.swapaxes(0, 1)  # [T, B, L, dim]
+        matched_sec = getattr(outs, "matched_sec", None)  # [T, S, B, L]
 
-        def per_frame(pf, ps, df, lab):
+        def per_frame(pf, ps, df, lab, ms):
             # pf/ps: [S, B, A, dim]; df: [S, B, A]; lab: [B, L, dim]
-            return jax.vmap(self.frame_loss, in_axes=(1, 1, 1, 0))(pf, ps, df, lab)
+            return jax.vmap(self.frame_loss, in_axes=(1, 1, 1, 0, 1))(
+                pf, ps, df, lab, ms)
 
-        losses, metrics = jax.vmap(per_frame)(
-            outs.pred_fir, outs.pred_sec, outs.diff, labels_t
-        )
+        if matched_sec is None:
+            def per_frame(pf, ps, df, lab):  # noqa: F811
+                return jax.vmap(self.frame_loss, in_axes=(1, 1, 1, 0))(
+                    pf, ps, df, lab)
+            losses, metrics = jax.vmap(per_frame)(
+                outs.pred_fir, outs.pred_sec, outs.diff, labels_t)
+        else:
+            losses, metrics = jax.vmap(per_frame)(
+                outs.pred_fir, outs.pred_sec, outs.diff, labels_t, matched_sec
+            )
         total = losses.mean()
         metrics = {k: v.mean() for k, v in metrics.items()}
         return total, metrics

@@ -23,7 +23,10 @@ def softmax_focal_loss(
     """logits: [..., A, C]; targets: [..., A] int -> [..., A] loss vector."""
     probs = jax.nn.softmax(logits, axis=-1) + eps
     n_cls = logits.shape[-1]
-    one_hot = jax.nn.one_hot(targets, n_cls, dtype=logits.dtype)
+    # the reference adds eps to the one-hot itself (focal_loss.py:70-75,
+    # ``one_hot.scatter_(...) + eps``), leaking eps*sum_c(focal_c) into the
+    # loss — reproduced for numeric parity
+    one_hot = jax.nn.one_hot(targets, n_cls, dtype=logits.dtype) + eps
     alpha_v = jnp.asarray(alpha, dtype=logits.dtype)
     focal = -alpha_v * (1.0 - probs) ** gamma * jnp.log(probs)
     return jnp.sum(one_hot * focal, axis=-1)

@@ -52,9 +52,13 @@ class MemoryState(NamedTuple):
 
 
 class TrainFrameOut(NamedTuple):
-    pred_fir: jnp.ndarray  # [S, B, A, dim]
-    pred_sec: jnp.ndarray  # [S, B, A, dim]
-    diff: jnp.ndarray      # [S, B, A]
+    pred_fir: jnp.ndarray     # [S, B, A, dim]
+    pred_sec: jnp.ndarray     # [S, B, A, dim]
+    diff: jnp.ndarray         # [S, B, A]
+    matched_sec: jnp.ndarray  # [S, B, L] second-branch assignment, shared
+    #                           with the memory write so the criterion never
+    #                           re-solves it (reference: criterion computes
+    #                           once and feeds saveMemory, RouterV4.py:495-507)
 
 
 class InferFrameOut(NamedTuple):
@@ -131,7 +135,8 @@ class _FrameStep(nn.Module):
                 carry, out.attn_feat, matched, target_valid
             )
             step_out = TrainFrameOut(
-                pred_fir=out.pred_fir, pred_sec=out.pred_sec, diff=out.diff
+                pred_fir=out.pred_fir, pred_sec=out.pred_sec, diff=out.diff,
+                matched_sec=matched,
             )
         else:
             routed = route_predictions(cfg, out)  # [B, A, dim]

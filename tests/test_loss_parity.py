@@ -100,9 +100,15 @@ def np_assign_cost(preds, tgts_valid):
 def np_focal(logits, target, alpha=(0.5, 0.5), gamma=2.0, eps=1e-6):
     z = logits - logits.max(-1, keepdims=True)
     probs = np.exp(z) / np.exp(z).sum(-1, keepdims=True) + eps
-    oh = np.eye(2)[target]
+    # reference one_hot adds eps to the one-hot itself (focal_loss.py:70-75)
+    oh = np.eye(2)[target] + eps
     al = np.asarray(alpha)
     return (oh * (-al * (1 - probs) ** gamma * np.log(probs))).sum(-1)
+
+
+def np_torch_median(x):
+    """torch.median: lower of the two middle values for even length."""
+    return np.sort(x)[(len(x) - 1) // 2]
 
 
 def np_smooth_l1(x):
@@ -118,34 +124,38 @@ def np_frame_loss(pred_fir, pred_sec, diff, label, lc: LossConfig):
     scale = np.array([35.0, IMG_W - 1.0, 180.0, 35.0, 35.0])
 
     def branch(preds_s):
+        """Reference ordinal contract (lossV5.py:126-171): per-stage reg/iou
+        vectors are in scipy's sorted-matched-prior order and summed across
+        stages positionally; the sum is scattered at the LAST stage's
+        sorted rows."""
         cls_vec = np.zeros(A)
         reg_v = np.zeros(n_t)
         iou_v = np.zeros(n_t)
-        matched_last = None
+        rows_last = None
         for s in range(preds_s.shape[0]):
             pred = preds_s[s]
             cost = np_assign_cost(pred, tv)
-            rows, cols = linear_sum_assignment(cost.T)  # rows=targets
+            rows, cols = linear_sum_assignment(cost)  # rows = sorted priors
             m = np.zeros(n_t, int)
-            m[rows] = cols
-            matched_last = m
+            m[cols] = rows  # matched prior per target
+            rows_last = rows
             cls_t = np.zeros(A, int)
             cls_t[m] = 1
             cls_vec += np_focal(pred[:, :2], cls_t, lc.focal_alpha, lc.focal_gamma)
-            rp = pred[m, 2:7] * scale
-            rt = tv[:, 2:7] * scale
+            rp = pred[rows, 2:7] * scale
+            rt = tv[cols, 2:7] * scale
             reg_v += np_smooth_l1(rp - rt).mean(-1) / n_t
-            pxs = pred[m, 7:] * (IMG_W - 1)
+            pxs = pred[rows, 7:] * (IMG_W - 1)
             iou = np.array([
-                np_line_iou_pairwise(pxs[i:i+1], tv[i:i+1, 7:], IMG_W)[0, 0]
+                np_line_iou_pairwise(pxs[i:i+1], tv[cols[i]:cols[i]+1, 7:], IMG_W)[0, 0]
                 for i in range(n_t)
             ])
             iou_v += (1 - iou) / n_t
-        return cls_vec / 3, reg_v / 3, iou_v / 3, matched_last
+        return cls_vec / 3, reg_v / 3, iou_v / 3, rows_last
 
-    def inst(cls_vec, reg_v, iou_v, m):
+    def inst(cls_vec, reg_v, iou_v, rows):
         out = cls_vec * lc.cls_weight
-        out[m] += reg_v * lc.reg_weight + iou_v * lc.iou_weight
+        out[rows] += reg_v * lc.reg_weight + iou_v * lc.iou_weight
         return out
 
     ca, ra, ia, ma = branch(pred_fir)
@@ -153,7 +163,7 @@ def np_frame_loss(pred_fir, pred_sec, diff, label, lc: LossConfig):
     la = inst(ca, ra, ia, ma)
     lb = inst(cb, rb, ib, mb)
     d = diff.mean(0)
-    delta = np.median(la - lb)
+    delta = np_torch_median(la - lb)
     la = la - delta / 2
     lb = lb + delta / 2
     return ((1 - d) * la + d * lb).sum()
@@ -231,9 +241,11 @@ def random_problem_ol(seed, n_targets=3):
     return preds, tgts, n_targets
 
 
-def np_lane_iou(pred_rel, tgt_rel, lane_width=7.5 / 768, img_h=IMG_H, img_w=IMG_W):
+def np_lane_iou(pred_rel, tgt_rel, lane_width=7.5 / 768, img_h=400, img_w=960):
     """CLRerNet LaneIoULoss.calc_iou with slope-adaptive widths
-    (dynamic_assignV2.py:55-101). pred/tgt: [N, O] relative."""
+    (dynamic_assignV2.py:55-101). pred/tgt: [N, O] relative. Geometry
+    defaults are LaneIoULoss's own img_h=400/img_w=960 — the reference
+    constructs it with defaults, not the model's image size."""
     n_strips = pred_rel.shape[1] - 1
     dy = img_h / n_strips * 2
 
@@ -313,7 +325,7 @@ def np_frame_loss_ol(pred_fir, pred_sec, diff, label, lc):
     ca, ra, ia = branch(pred_fir)
     cb, rb, ib = branch(pred_sec)
     d = diff.mean(0)
-    delta = np.median(ca - cb)
+    delta = np_torch_median(ca - cb)
     cls_blend = ((1 - d) * (ca - delta / 2) + d * (cb + delta / 2)).sum()
     return (ra + rb) * lc.reg_weight + (ia + ib) * lc.iou_weight + cls_blend * lc.cls_weight
 

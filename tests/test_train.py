@@ -45,6 +45,62 @@ def test_train_step_loss_decreases():
     assert int(state.step) == 6
 
 
+def test_criterion_reuses_model_assignment():
+    """The criterion must not re-solve the second branch's Hungarian
+    assignment: the model scan already solved it for the memory write and
+    ships it in TrainFrameOut.matched_sec (reference flow: one assignment
+    feeding both loss and saveMemory, RouterV4.py:495-507)."""
+    import phnet_tpu.losses.criterion as crit_mod
+    from phnet_tpu.losses.assign import assign_frame as real_assign
+    from phnet_tpu.models.phnet import TrainFrameOut
+
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(0)
+    s, b, t, a = 2, 1, 2, cfg.head.num_priors
+    labels = make_labels(rng, b, t, cfg)
+    pred_fir = jnp.array(rng.normal(size=(t, s, b, a, cfg.lane.dim)), jnp.float32)
+    pred_sec = jnp.array(rng.normal(size=(t, s, b, a, cfg.lane.dim)), jnp.float32)
+    diff = jnp.array(rng.uniform(size=(t, s, b, a)), jnp.float32)
+
+    # the matches the model scan would have produced
+    spec = cfg.lane
+    matched_sec = jnp.stack([
+        jnp.stack([
+            jnp.stack([
+                real_assign(pred_sec[ti, si, bi], labels[bi, ti],
+                            labels[bi, ti, :, 1] == 1.0, spec,
+                            cfg.img_w, cfg.img_h)
+                for bi in range(b)])
+            for si in range(s)])
+        for ti in range(t)])
+
+    criterion = LaneCriterion(cfg, LossConfig(style="blend_all"))
+    calls = {"n": 0}
+
+    def counting_assign(*args, **kw):
+        calls["n"] += 1
+        return real_assign(*args, **kw)
+
+    orig = crit_mod.assign_frame
+    crit_mod.assign_frame = counting_assign
+    try:
+        outs = TrainFrameOut(pred_fir, pred_sec, diff, matched_sec)
+        loss_shared, _ = criterion(outs, labels)
+        n_with = calls["n"]
+    finally:
+        crit_mod.assign_frame = orig
+
+    # only the first branch solves (S stages traced once under vmap)
+    assert n_with == s, n_with
+    # and reusing the match is numerically identical to re-solving it
+    loss_solo, _ = jax.vmap(
+        lambda pf, ps, df, lab: jax.vmap(
+            criterion.frame_loss, in_axes=(1, 1, 1, 0))(pf, ps, df, lab)
+    )(pred_fir, pred_sec, diff, labels.swapaxes(0, 1))
+    np.testing.assert_allclose(
+        float(loss_shared), float(loss_solo.mean()), rtol=1e-6)
+
+
 def test_train_step_blend_cls_style():
     cfg = tiny_cfg(n_lengths=1, separate_offset_head=True)
     model, state, step, frames, labels = setup_training(
