@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--temporal", action="store_true")
     ap.add_argument("--native", action="store_true",
                     help="use the C++ evaluator if built")
+    ap.add_argument("--datalist", default=None,
+                    help="frozen datalist fixture (.txt or .pickle; ours or "
+                         "the reference's) pinning the frame set and order")
     args = ap.parse_args()
 
     from phnet_tpu.evaluation import (
@@ -48,19 +51,34 @@ def main():
         temporal_metric_video,
     )
 
-    videos = collect(args.pred_dir, args.anno_dir)
+    if args.datalist:
+        from collections import defaultdict as _dd
+
+        from phnet_tpu.evaluation.fixtures import (
+            load_datalist, pairs_from_datalist,
+        )
+
+        entries = load_datalist(args.datalist)
+        videos = _dd(list)
+        for e, pair in zip(entries, pairs_from_datalist(
+                entries, args.pred_dir, args.anno_dir)):
+            videos[e.split("/", 1)[0]].append(pair)
+    else:
+        videos = collect(args.pred_dir, args.anno_dir)
     if not videos:
         print("no annotation files found"); sys.exit(1)
     shape = (args.height, args.width, 3)
 
     if args.native:
-        from phnet_tpu.evaluation.native_eval import native_available, native_eval
+        from phnet_tpu.evaluation.native_eval import (
+            evaluate_pairs, native_available,
+        )
 
         if native_available():
+            all_pairs = [p for pairs in videos.values() for p in pairs]
             for iou in args.ious:
-                res = native_eval(
-                    args.pred_dir, args.anno_dir, args.width, args.height,
-                    args.lane_width, iou)
+                res = evaluate_pairs(
+                    all_pairs, args.width, args.height, args.lane_width, iou)
                 print(f"[native] IoU@{iou}:", res)
             if not args.temporal:
                 return

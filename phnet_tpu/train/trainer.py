@@ -21,7 +21,7 @@ from ..models import PHNet
 from ..parallel import batch_sharding, make_mesh, replicate_sharding, shard_params
 from ..utils.logger import AverageMeter, TextLogger
 from .checkpoint import CheckpointManager
-from .optimizer import build_optimizer
+from .optimizer import build_optimizer, cosine_schedule
 from .state import create_train_state
 from .step import make_train_step
 
@@ -46,6 +46,7 @@ def train(
     # T_max = len(trainset) * epochs / world_size, trainVIL.py:117)
     total_steps = max(len(loader) * epochs, 1)
     tx = build_optimizer(tcfg, total_steps)
+    lr_at = cosine_schedule(tcfg.learning_rate, total_steps)
 
     batch0 = next(iter(loader))
     frames0 = jnp.asarray(batch0["frames"])
@@ -103,7 +104,9 @@ def train(
 
         train_loss = meter.avg
         history.append(train_loss)
-        logger.log(epoch + 1, tcfg.learning_rate, train_loss)
+        # log the LIVE cosine LR at the current step, like the reference's
+        # scheduler.get_lr() (trainVIL.py:176) — not the base LR
+        logger.log(epoch + 1, float(lr_at(int(state.step))), train_loss)
 
         # curriculum (trainVIL.py:178-183)
         if (epoch + 1) % tcfg.epochs_per_increment == 0:

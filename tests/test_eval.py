@@ -105,3 +105,62 @@ def test_culane_match_shapes():
     row, col, ious = culane_match(a, b, SHAPE)
     assert ious.shape == (1, 2)
     assert row.tolist() == [0]
+
+
+# ---------------------------------------------------------------------------
+# frozen fixtures (datalist + shape list), reference format compatibility
+# ---------------------------------------------------------------------------
+def test_fixture_freeze_roundtrip(tmp_path):
+    from phnet_tpu.evaluation.fixtures import (
+        freeze, load_datalist, load_shape_list, pairs_from_datalist,
+    )
+
+    entries = ["vidA/00000", "vidA/00003", "vidB/00010"]
+    shapes = [(720, 1280, 3)] * 3
+    paths = freeze(entries, str(tmp_path), "VIL", shapes)
+    assert load_datalist(paths["txt"]) == entries
+    assert load_datalist(paths["pickle"]) == entries
+    assert load_shape_list(paths["shape_list"]) == shapes
+    pairs = pairs_from_datalist(entries, "/p", "/a")
+    assert pairs[0] == ("/p/vidA/00000.lines.txt", "/a/vidA/00000.lines.txt")
+    assert len(pairs) == 3
+
+
+def test_fixture_reads_reference_pickles():
+    """Our loader must consume the reference's own pinned fixtures."""
+    import os
+
+    ref = "/root/reference/evaluation"
+    if not os.path.isdir(ref):
+        pytest.skip("reference tree not mounted")
+    from phnet_tpu.evaluation.fixtures import load_datalist, load_shape_list
+
+    dl = load_datalist(os.path.join(ref, "datalistVIL.pickle"))
+    txt = load_datalist(os.path.join(ref, "datalistVIL.txt"))
+    assert dl == txt and len(dl) == 2000
+    shapes = load_shape_list(os.path.join(ref, "shape_list.pickle"))
+    assert len(shapes) == len(dl) and len(shapes[0]) == 3
+
+
+def test_fixture_enumerate_vil100(tmp_path):
+    """enumerate_vil100 matches the datalist entry format <video>/<frame>."""
+    import json
+
+    import yaml
+
+    from phnet_tpu.evaluation.fixtures import enumerate_vil100, freeze
+
+    root = tmp_path / "d"
+    (root / "VIL100" / "data").mkdir(parents=True)
+    yaml.safe_dump(
+        {"sequences": [{"name": "v_test", "set": "test"},
+                       {"name": "v_train", "set": "train"}]},
+        open(root / "VIL100" / "data" / "db_info.yaml", "w"))
+    for vid in ("v_test", "v_train"):
+        (root / "VIL100" / "Json" / vid).mkdir(parents=True)
+        for i in range(3):
+            json.dump({}, open(
+                root / "VIL100" / "Json" / vid / f"{i:05d}.jpg.json", "w"))
+    entries = enumerate_vil100(str(root), "test")
+    assert entries == ["v_test/00000", "v_test/00001", "v_test/00002"]
+    freeze(entries, str(tmp_path / "fx"), "VIL")
