@@ -1,17 +1,24 @@
-"""Benchmark: streaming VIL-100 inference frames/sec on one TPU chip.
+"""Benchmark: streaming VIL-100 inference + training economics on one chip.
 
 Mirrors the reference timing protocol (``testVIL.py:99-130``: whole
-100-frame video through the model, fps = T / wall). We stream the video in
-chunks with the temporal memory carried across chunks (identical
-semantics, one compile of the chunk graph).
+100-frame video through the model, fps = T / wall). The video streams in
+25-frame chunks with the temporal memory carried across chunks (identical
+semantics, one compile of the chunk graph). Additionally measured:
 
-Prints ONE JSON line:
-  {"metric": ..., "value": fps, "unit": "frames/sec/chip", "vs_baseline": r}
-where vs_baseline is the ratio to the equivalent-compute PyTorch-CPU model
-(``tools/torch_cpu_baseline.py`` -> BASELINE_TORCH_CPU.json). The
-BASELINE.json north star is >= 10x PyTorch-CPU.
+* p50/p99 per-frame latency: a chunk=1 graph driven frame by frame with a
+  host sync per frame — the serving-latency number (BASELINE.md names p50
+  first-class);
+* MFU: XLA cost-analysis FLOPs of a single-frame graph x measured fps /
+  197 TF/s (v5e bf16 peak);
+* train_fps: one full-size 16-frame clip through the jitted train step
+  (forward + criterion + backward + AdamW), the reference's DDP-iteration
+  unit (``trainVIL.py:238-253``).
+
+Prints ONE JSON line with the headline throughput; the extra measurements
+ride along as additional keys.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -21,25 +28,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+V5E_BF16_PEAK = 197e12
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from phnet_tpu.config import vil100_config
+    from phnet_tpu.config import TrainConfig, vil100_config
     from phnet_tpu.models import PHNet
     from phnet_tpu.models.phnet import init_memory
 
-    import dataclasses
-
-    # bf16 matmuls + Pallas NMS (auto-selected on TPU) + partial scan unroll
+    # bf16 matmuls + Pallas NMS/router (auto on TPU) + partial scan unroll
     cfg = dataclasses.replace(
-        vil100_config().model, compute_dtype="bfloat16", scan_unroll=1)
+        vil100_config().model, compute_dtype="bfloat16", scan_unroll=5)
     model = PHNet(cfg)
 
     video_frames = 100  # VIL-100 clip length
     chunk = 25
-    n_videos = 3
+    n_videos = 5
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -57,10 +64,10 @@ def main():
 
     run_chunk = jax.jit(run_chunk)
 
-    # warmup / compile
+    # ---- throughput (reference protocol: whole video, sync per video) ----
     mem = init_memory(cfg, 1, video_frames)
     kept, nk, mem = run_chunk(variables, frames, mem)
-    np.array(nk)  # force full sync through the axon tunnel
+    np.array(nk)  # force full sync
 
     times = []
     for _ in range(n_videos):
@@ -70,9 +77,76 @@ def main():
             kept, nk, mem = run_chunk(variables, frames, mem)
         np.array(nk)  # device->host sync at end of video, as testVIL does
         times.append(time.time() - t0)
+    fps = n_videos * video_frames / sum(times)
+    frame_ms_amortized = sum(times) / (n_videos * video_frames) * 1000.0
 
-    total_frames = n_videos * video_frames
-    fps = total_frames / sum(times)
+    # ---- p50/p99 per-frame latency (chunk=1, sync every frame) ----------
+    frame1 = frames[:, :1]
+    run1 = jax.jit(run_chunk)
+    mem = init_memory(cfg, 1, video_frames)
+    kept, nk, mem = run1(variables, frame1, mem)
+    np.array(nk)
+    lat = []
+    mem = init_memory(cfg, 1, video_frames)
+    for _ in range(120):
+        t0 = time.time()
+        kept, nk, mem = run1(variables, frame1, mem)
+        np.array(nk)
+        lat.append((time.time() - t0) * 1000)
+    lat = np.array(lat[10:])  # drop warm-in
+    p50, p99 = float(np.percentile(lat, 50)), float(np.percentile(lat, 99))
+
+    # ---- MFU: cost-analysis FLOPs of the single-frame graph -------------
+    mfu = None
+    flops_per_frame = None
+    try:
+        comp = run1.lower(variables, frame1, mem).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_frame = float(ca.get("flops", 0.0))
+        if flops_per_frame > 0:
+            mfu = flops_per_frame * fps / V5E_BF16_PEAK
+    except Exception:
+        pass
+
+    # ---- training throughput (16-frame clip, full pipeline) -------------
+    train_fps = None
+    try:
+        from phnet_tpu.losses import LaneCriterion
+        from phnet_tpu.train import (
+            build_optimizer, create_train_state, make_train_step,
+        )
+
+        t_frames = jnp.asarray(rng.normal(
+            size=(1, 16, cfg.img_h, cfg.img_w, 3)).astype(np.float32))
+        lab = np.full((1, 16, cfg.max_lanes, cfg.lane.dim), -1e5, np.float32)
+        lab[..., 0] = 1.0
+        lab[..., 1] = 0.0
+        for i in range(3):
+            lab[:, :, i, :2] = (0.0, 1.0)
+            lab[:, :, i, 2:5] = (0.0, 0.2 + 0.3 * i, 0.5)
+            lab[:, :, i, cfg.lane.col_length] = 0.8
+            lab[:, :, i, cfg.lane.col_invalid_length] = 0.0
+            lab[:, :, i, cfg.lane.col_xs:] = rng.uniform(
+                50, 700, (1, 16, cfg.lane.n_offsets))
+        t_labels = jnp.asarray(lab)
+        tcfg = TrainConfig()
+        criterion = LaneCriterion(cfg, tcfg.loss)
+        tx = build_optimizer(tcfg, 1000)
+        state = create_train_state(
+            model, cfg, jax.random.key(0), t_frames, t_labels, tx)
+        step = jax.jit(make_train_step(model, criterion, tx),
+                       donate_argnums=0)
+        state, m = step(state, t_frames, t_labels, jax.random.key(1))
+        float(m["loss"])
+        t0 = time.time()
+        n_steps = 8
+        for i in range(n_steps):
+            state, m = step(state, t_frames, t_labels, jax.random.key(i))
+        float(m["loss"])
+        train_fps = 16 * n_steps / (time.time() - t0)
+    except Exception:
+        pass
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_TORCH_CPU.json")
@@ -88,6 +162,17 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        # chunk=1 call with a host sync per frame — includes the
+        # host<->device round trip (large under the axon tunnel; the
+        # amortized device step below is the per-frame compute time)
+        "p50_frame_latency_ms": round(p50, 2),
+        "p99_frame_latency_ms": round(p99, 2),
+        "frame_ms_amortized": round(frame_ms_amortized, 2),
+        "flops_per_frame_g": (round(flops_per_frame / 1e9, 2)
+                              if flops_per_frame else None),
+        "mfu_pct": round(mfu * 100, 2) if mfu is not None else None,
+        "train_fps_16frame_clip": (round(train_fps, 2)
+                                   if train_fps is not None else None),
     }))
 
 

@@ -211,6 +211,10 @@ class ModelConfig:
     # unroll factor of the temporal scan (trades compile time for loop
     # overhead; 1 = plain lax.scan)
     scan_unroll: int = 1
+    # rematerialize the per-frame step in the backward pass: activations of
+    # each scanned frame are recomputed instead of stored, trading ~1 extra
+    # forward for O(T) less HBM traffic through the temporal scan
+    remat_frames: bool = True
 
     @property
     def n_offsets(self) -> int:

@@ -74,6 +74,68 @@ class BranchHead(nn.Module):
         )(x)
 
 
+class MergedBranchHeads(nn.Module):
+    """All of one branch's heads (cls + reg [+ offsets]) as stacked einsums.
+
+    Numerically identical math and init distributions to separate
+    ``BranchHead`` stacks, but each fc level is ONE batched contraction
+    over the head dimension instead of 2-3 tiny matmuls: the per-frame scan
+    body is latency-bound (the whole detect pass is <2 GFLOP/frame), so
+    fewer, wider MXU ops shorten the critical path.
+
+    Final-layer kernels have per-head widths; they are zero-padded to a
+    common width at apply time (padding is not a parameter) and the outputs
+    sliced back per head.
+    """
+
+    hidden: int
+    out_dims: Tuple[int, ...]
+    num_fc: int = 2
+    final_init_std: float = 1e-3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        n = len(self.out_dims)
+        h = self.hidden
+        din = x.shape[-1]
+        stack_init = nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal", in_axis=-2, out_axis=-1,
+            batch_axis=0,
+        )  # per-head lecun_normal, like nn.Dense's default
+        x = x.astype(self.dtype)
+        y = None
+        for i in range(self.num_fc):
+            d_in = din if i == 0 else h
+            w = self.param(f"fc{i}_kernel", stack_init, (n, d_in, h))
+            b = self.param(f"fc{i}_bias", nn.initializers.zeros, (n, h))
+            if i == 0:
+                y = jnp.einsum(
+                    "...ad,ndh->...nah", x, w.astype(self.dtype))
+            else:
+                y = jnp.einsum("...nah,nhk->...nak", y, w.astype(self.dtype))
+            y = nn.relu(y + b[:, None].astype(self.dtype))
+
+        dmax = max(self.out_dims)
+        outs_w, outs_b = [], []
+        for i, d_o in enumerate(self.out_dims):
+            wo = self.param(
+                f"out{i}_kernel", nn.initializers.normal(self.final_init_std),
+                (h, d_o))
+            bo = self.param(
+                f"out{i}_bias", nn.initializers.normal(self.final_init_std),
+                (d_o,))
+            outs_w.append(jnp.pad(wo, ((0, 0), (0, dmax - d_o))))
+            outs_b.append(jnp.pad(bo, (0, dmax - d_o)))
+        w_out = jnp.stack(outs_w).astype(self.dtype)  # [n, h, dmax]
+        b_out = jnp.stack(outs_b).astype(self.dtype)  # [n, dmax]
+        out = jnp.einsum("...nah,nhd->...nad", y, w_out) + b_out[:, None]
+        out = out.astype(jnp.float32)
+        return tuple(
+            out[..., i, :, : d_o] for i, d_o in enumerate(self.out_dims)
+        )
+
+
 class LaneHead(nn.Module):
     cfg: ModelConfig
 
@@ -134,13 +196,12 @@ class LaneHead(nn.Module):
         d = h.fc_hidden_dim
         n_reg_geo = 3 + spec.n_lengths  # start_y, start_x, theta + lengths
         fir_reg_dim = n_reg_geo if h.separate_offset_head else n_reg_geo + self.n_offsets
-        self.cls_fir = BranchHead(d, 2, h.num_fc, name="cls_fir")
-        self.reg_fir = BranchHead(d, fir_reg_dim, h.num_fc, name="reg_fir")
-        self.cls_sec = BranchHead(2 * d, 2, h.num_fc, name="cls_sec")
-        self.reg_sec = BranchHead(2 * d, fir_reg_dim, h.num_fc, name="reg_sec")
-        if h.separate_offset_head:
-            self.iou_fir = BranchHead(d, self.n_offsets, h.num_fc, name="iou_fir")
-            self.iou_sec = BranchHead(2 * d, self.n_offsets, h.num_fc, name="iou_sec")
+        out_dims = (2, fir_reg_dim) + (
+            (self.n_offsets,) if h.separate_offset_head else ())
+        self.heads_fir = MergedBranchHeads(
+            d, out_dims, h.num_fc, dtype=compute_dtype, name="heads_fir")
+        self.heads_sec = MergedBranchHeads(
+            2 * d, out_dims, h.num_fc, dtype=compute_dtype, name="heads_sec")
 
         self.pos_encoding = AnchorPositionalEncoding(
             num_anchors=self.num_priors,
@@ -156,6 +217,7 @@ class LaneHead(nn.Module):
             num_heads=h.decoder_heads,
             ffn_dim=h.decoder_ffn_dim,
             dropout=h.decoder_dropout,
+            dtype=compute_dtype,
             name="temporal_decoder",
         )
 
@@ -189,19 +251,39 @@ class LaneHead(nn.Module):
 
     def _pool(self, feat: jnp.ndarray, priors: jnp.ndarray) -> jnp.ndarray:
         """Pool anchor features: feat [B, H, W, C] (one FPN level), priors
-        [B, A, dim] -> [B, A, P, C]. Sample points run top -> bottom."""
+        [B, A, dim] -> [B, A, P, C]. Sample points run top -> bottom.
+
+        Same math as ``ops.sampler.bilinear_sample`` (grid_sample,
+        align_corners=True, zero padding), restructured for the MXU: the
+        sample rows' y coordinates are STATIC per stage, so the two
+        neighbouring feature rows are lerped once ([B, P, W, C]), and the
+        x interpolation becomes a one-hot weight matrix contracted with an
+        einsum — FPN widths are <=96 at 768px input, so the [A, P, W]
+        weights are tiny and the whole pool is one matmul instead of four
+        strided gathers (the gathers were ~30% of the scan body's time).
+        """
         xs_rows = priors[..., self.spec.col_xs :][..., self.sample_x_indexs]
         xs_sampled = xs_rows[..., ::-1]  # row order bottom->top flipped to top->bottom
         _, hh, ww, _ = feat.shape
-        px = xs_sampled * (ww - 1)
-        py = jnp.broadcast_to(
-            jnp.asarray(self.prior_feat_ys)[None, None, :], px.shape
-        ) * (hh - 1)
+        px = xs_sampled * (ww - 1)  # [B, A, P]
 
-        def sample_one(f, x, y):
-            return bilinear_sample(jnp.moveaxis(f, -1, 0), x, y)
+        # static row interpolation (prior_feat_ys fixed per stage)
+        py = self.prior_feat_ys * (hh - 1)  # numpy [P]
+        y0 = np.floor(py).astype(np.int64)
+        wy = jnp.asarray((py - y0), feat.dtype)[None, :, None, None]
+        y1 = np.minimum(y0 + 1, hh - 1)  # y1==hh would be zero-weighted
+        rows = feat[:, y0] * (1.0 - wy) + feat[:, y1] * wy  # [B, P, W, C]
 
-        return jax.vmap(sample_one)(feat, px, py)
+        # 1-D bilinear along W as a one-hot contraction (exact zero-padding
+        # semantics: out-of-range floor/ceil columns simply match nothing)
+        x0 = jnp.floor(px)
+        wx = (px - x0)[..., None]
+        cols = jnp.arange(ww, dtype=px.dtype)
+        weight = (
+            jnp.where(cols == x0[..., None], 1.0 - wx, 0.0)
+            + jnp.where(cols == x0[..., None] + 1.0, wx, 0.0)
+        ).astype(feat.dtype)  # [B, A, P, W]
+        return jnp.einsum("bapw,bpwc->bapc", weight, rows)
 
     def _assemble(self, priors, cls_logits, reg_geo, offsets):
         """Write head outputs into the lane vector
@@ -220,13 +302,11 @@ class LaneHead(nn.Module):
         )
         return full, lines
 
-    def _branch(self, feats, cls_head, reg_head, iou_head, priors):
-        cls_logits = cls_head(feats)
-        reg = reg_head(feats)
+    def _branch(self, feats, heads, priors):
         if self.cfg.head.separate_offset_head:
-            offsets = iou_head(feats)
-            reg_geo = reg
+            cls_logits, reg_geo, offsets = heads(feats)
         else:
+            cls_logits, reg = heads(feats)
             n_geo = 3 + self.spec.n_lengths
             reg_geo, offsets = reg[..., :n_geo], reg[..., n_geo:]
         return self._assemble(priors, cls_logits, reg_geo, offsets)
@@ -279,10 +359,8 @@ class LaneHead(nn.Module):
             decode_feat = self.dyn_heads[s](pro_feat, pooled)  # [B, A, C]
             pro_feat = jax.lax.stop_gradient(decode_feat)  # iterative enhance
 
-            fir_full, fir_lines = self._branch(
-                decode_feat, self.cls_fir, self.reg_fir,
-                getattr(self, "iou_fir", None), priors,
-            )
+            fir_full, fir_lines = self._branch(decode_feat, self.heads_fir,
+                                               priors)
             preds_fir.append(fir_full)
 
             attn_feat = jnp.concatenate(
@@ -295,10 +373,8 @@ class LaneHead(nn.Module):
                 attn_feat, memory_values[:, s], memory_mask,
                 deterministic=not train,
             )
-            sec_full, sec_lines = self._branch(
-                decoded, self.cls_sec, self.reg_sec,
-                getattr(self, "iou_sec", None), priors,
-            )
+            sec_full, sec_lines = self._branch(decoded, self.heads_sec,
+                                               priors)
             preds_sec.append(sec_full)
 
             if s != h.refine_layers - 1:

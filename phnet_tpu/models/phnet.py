@@ -278,8 +278,15 @@ class PHNet(nn.Module):
         else:
             labels_t = labels.swapaxes(0, 1)
 
+        step_cls = _FrameStep
+        if train and cfg.remat_frames:
+            # recompute each frame's activations in the backward instead of
+            # storing T copies (the reference relies on torch autograd's
+            # default full storage; remat is the TPU-native memory/time
+            # trade for a long temporal scan)
+            step_cls = nn.remat(_FrameStep, prevent_cse=False)
         scan = nn.scan(
-            _FrameStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=0,

@@ -25,9 +25,15 @@ NEG_INF = -1e9
 
 
 class MultiHeadAttention(nn.Module):
+    """Projections are fused per source tensor — q==k==v (self-attention)
+    runs one Dense(3D); distinct query/memory (cross-attention) runs
+    Dense(D) + Dense(2D). The scan body is latency-bound, so one wide
+    matmul beats three narrow ones; math is identical to separate q/k/v."""
+
     dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v, key_mask: Optional[jnp.ndarray] = None,
@@ -37,17 +43,25 @@ class MultiHeadAttention(nn.Module):
         hd = self.dim // h
         b, nq, _ = q.shape
         nk = k.shape[1]
-        qp = nn.Dense(self.dim, name="q")(q).reshape(b, nq, h, hd)
-        kp = nn.Dense(self.dim, name="k")(k).reshape(b, nk, h, hd)
-        vp = nn.Dense(self.dim, name="v")(v).reshape(b, nk, h, hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp) / jnp.sqrt(float(hd))
+        assert v is k, "fused projections assume shared key/value source"
+        if q is k:
+            qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(q)
+            qp, kp, vp = jnp.split(qkv, 3, axis=-1)
+        else:
+            qp = nn.Dense(self.dim, dtype=self.dtype, name="q")(q)
+            kv = nn.Dense(2 * self.dim, dtype=self.dtype, name="kv")(k)
+            kp, vp = jnp.split(kv, 2, axis=-1)
+        qp = qp.reshape(b, nq, h, hd)
+        kp = kp.reshape(b, nk, h, hd)
+        vp = vp.reshape(b, nk, h, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp).astype(jnp.float32) / jnp.sqrt(float(hd))
         if key_mask is not None:
             logits = jnp.where(key_mask[:, None, None, :], logits, NEG_INF)
         weights = nn.softmax(logits, axis=-1)
         if self.dropout > 0.0 and not deterministic:
             weights = nn.Dropout(self.dropout)(weights, deterministic=False)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, vp).reshape(b, nq, self.dim)
-        return nn.Dense(self.dim, name="out")(out)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(vp.dtype), vp).reshape(b, nq, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(out)
 
 
 class DecoderLayer(nn.Module):
@@ -55,12 +69,14 @@ class DecoderLayer(nn.Module):
     num_heads: int = 8
     ffn_dim: int = 256
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, memory_mask, deterministic: bool = True):
         # pre-norm self attention
         x = nn.LayerNorm(name="norm1")(tgt)
         sa = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                dtype=self.dtype,
                                 name="self_attn")(x, x, x,
                                                   deterministic=deterministic)
         if self.dropout > 0.0 and not deterministic:
@@ -69,6 +85,7 @@ class DecoderLayer(nn.Module):
         # pre-norm cross attention over the temporal memory bank
         x = nn.LayerNorm(name="norm2")(tgt)
         ca = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                dtype=self.dtype,
                                 name="cross_attn")(
             x, memory, memory, key_mask=memory_mask,
             deterministic=deterministic)
@@ -77,11 +94,11 @@ class DecoderLayer(nn.Module):
         tgt = tgt + ca
         # pre-norm FFN (gelu)
         x = nn.LayerNorm(name="norm3")(tgt)
-        y = nn.Dense(self.ffn_dim, name="ffn1")(x)
+        y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn1")(x)
         y = nn.gelu(y)
         if self.dropout > 0.0 and not deterministic:
             y = nn.Dropout(self.dropout)(y, deterministic=False)
-        y = nn.Dense(self.dim, name="ffn2")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(y)
         if self.dropout > 0.0 and not deterministic:
             y = nn.Dropout(self.dropout)(y, deterministic=False)
         return tgt + y
@@ -96,16 +113,19 @@ class TemporalDecoder(nn.Module):
     num_heads: int = 8
     ffn_dim: int = 256
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, memory_mask, deterministic: bool = True):
         """tgt: [B, A, D]; memory: [B, M, D]; memory_mask: [B, M] bool."""
-        x = tgt
+        x = tgt.astype(self.dtype)
+        memory = memory.astype(self.dtype)
         for i in range(self.num_layers):
             x = DecoderLayer(self.dim, self.num_heads, self.ffn_dim,
-                             self.dropout, name=f"layer{i}")(
+                             self.dropout, dtype=self.dtype,
+                             name=f"layer{i}")(
                 x, memory, memory_mask, deterministic)
-        x = nn.LayerNorm(name="final_norm")(x)
+        x = nn.LayerNorm(name="final_norm")(x.astype(jnp.float32))
         # no valid memory for a batch element -> pass tgt through unchanged
         # (RouterV4.py:311-315: decoder is skipped when last_cut is empty)
         has_memory = jnp.any(memory_mask, axis=-1)  # [B]

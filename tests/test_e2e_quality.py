@@ -1,0 +1,95 @@
+"""End-to-end quality gate on synthetic clips.
+
+The only quality oracle available without the real datasets: train a small
+model to overfit synthetic lane clips, run the FULL inference pipeline
+(scan + routing + NMS + Lane decode + CULane txt emission), score with the
+CULane metric, and assert F1@0.5 above a pinned floor. This closes the
+loop the reference closes with ``testVIL.py`` -> ``evaluate_iou.py`` and
+turns "the pipeline runs" into a number that can regress.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from phnet_tpu.config import (
+    BackboneConfig, Config, DataConfig, HeadConfig, LaneSpec, LossConfig,
+    MemoryConfig, ModelConfig, NeckConfig, TestParams, TrainConfig,
+)
+from phnet_tpu.data import SyntheticVideoDataset
+from phnet_tpu.evaluation import (
+    aggregate_results, culane_metric, read_lines_txt,
+)
+from phnet_tpu.losses import LaneCriterion
+from phnet_tpu.models import PHNet
+from phnet_tpu.pipeline import InferencePipeline
+from phnet_tpu.train import build_optimizer, create_train_state, make_train_step
+
+H, W = 96, 192
+
+
+def quality_cfg():
+    model = ModelConfig(
+        img_h=H, img_w=W,
+        lane=LaneSpec(n_offsets=18, n_lengths=2),
+        backbone=BackboneConfig(in_channels=(8, 16, 24, 32)),
+        neck=NeckConfig(in_channels=(16, 24, 32), out_channels=16, num_outs=3),
+        head=HeadConfig(num_priors=48, sample_points=8, fc_hidden_dim=16,
+                        prior_feat_channels=16, decoder_ffn_dim=32),
+        memory=MemoryConfig(window=0, slots_per_frame=5),
+        test=TestParams(conf_threshold=0.35, nms_thres=12.0, nms_topk=4),
+        max_lanes=4,
+    )
+    return Config(model=model, data=DataConfig(img_h=H, img_w=W, max_lanes=4),
+                  train=TrainConfig(loss=LossConfig()))
+
+
+def test_synthetic_overfit_f1_floor(tmp_path):
+    """Train 400 steps on one synthetic clip; full emit->score pipeline on
+    the same clip must reach F1@0.5 >= 0.9 (pinned regression floor)."""
+    cfg = quality_cfg()
+    model = PHNet(cfg.model)
+    ds = SyntheticVideoDataset(
+        n_videos=1, frames_per_video=4, img_h=H, img_w=W,
+        spec=cfg.model.lane, max_lanes=cfg.model.max_lanes, seed=5)
+    clip = ds[0]
+    frames = jnp.asarray(clip["frames"])[None]
+    labels = jnp.asarray(clip["labels"])[None]
+
+    tcfg = dataclasses.replace(cfg.train, learning_rate=2e-3)
+    tx = build_optimizer(tcfg, total_steps=2500)
+    state = create_train_state(
+        model, cfg.model, jax.random.key(0), frames, labels, tx)
+    step = jax.jit(make_train_step(
+        model, LaneCriterion(cfg.model, tcfg.loss), tx))
+
+    losses = []
+    for i in range(400):
+        state, metrics = step(state, frames, labels, jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    pred_dir = str(tmp_path / "pred")
+    anno_dir = str(tmp_path / "anno")
+    pipe = InferencePipeline(cfg, variables, chunk=4)
+    stats = pipe.run_and_emit(ds, pred_dir, anno_dir, fmt="vil")
+    assert stats["frames"] == 4
+
+    results = []
+    import glob
+
+    for pf in sorted(glob.glob(os.path.join(pred_dir, "*", "*.lines.txt"))):
+        af = pf.replace(pred_dir, anno_dir)
+        results.append(culane_metric(
+            read_lines_txt(pf), read_lines_txt(af), (H, W, 3)))
+    agg = aggregate_results(results)
+    # pinned floor: an overfit model must nail its own training clip
+    assert agg["F1"] >= 0.9, agg
+    assert agg["miou"] >= 0.75, agg

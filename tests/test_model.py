@@ -153,3 +153,38 @@ def test_streaming_memory_carry():
         np.array(full.kept[:2]), np.array(out1.kept), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(
         np.array(full.kept[2:]), np.array(out2.kept), rtol=1e-4, atol=1e-5)
+
+
+def test_einsum_pool_matches_bilinear_sample():
+    """The MXU-friendly one-hot-einsum pool in LaneHead._pool must equal the
+    gather-based bilinear sampler (grid_sample semantics incl. zero pad)."""
+    from phnet_tpu.models.head import LaneHead
+    from phnet_tpu.ops.sampler import bilinear_sample
+
+    cfg = tiny_cfg()
+    head = LaneHead(cfg)
+    rng = np.random.default_rng(0)
+    b, hh, ww, c = 2, 12, 24, cfg.head.prior_feat_channels
+    feat = jnp.array(rng.normal(size=(b, hh, ww, c)), jnp.float32)
+    priors = jnp.array(rng.uniform(-0.3, 1.3,
+                                   (b, cfg.head.num_priors, cfg.lane.dim)),
+                       jnp.float32)  # xs partially out of image
+
+    pool_method = lambda m, f, p: m._pool(f, p)  # noqa: E731
+    variables = head.init(jax.random.key(0), feat, priors, method=pool_method)
+    got = head.apply(variables, feat, priors, method=pool_method)
+
+    # oracle: original gather path
+    from phnet_tpu.models.head import _sample_x_indices
+
+    idx = _sample_x_indices(cfg.lane.n_offsets, cfg.head.sample_points)
+    fys = np.flip(
+        1.0 - idx.astype(np.float32) / cfg.lane.n_strips).copy()
+    xs = np.array(priors)[..., cfg.lane.col_xs:][..., idx][..., ::-1]
+    px = jnp.array(xs * (ww - 1))
+    py = jnp.broadcast_to(jnp.array(fys)[None, None, :], px.shape) * (hh - 1)
+    want = jax.vmap(
+        lambda f, x, y: bilinear_sample(jnp.moveaxis(f, -1, 0), x, y)
+    )(feat, px, py)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=1e-5, atol=1e-5)

@@ -20,6 +20,7 @@ import types
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from phnet_tpu.config import LaneSpec, LossConfig, ModelConfig
@@ -240,3 +241,241 @@ def test_vil_criterion_empty_frame_matches_reference(ref):
         jnp.array(pred_fir), jnp.array(pred_sec), jnp.array(diff),
         jnp.array(tgts))
     np.testing.assert_allclose(float(ours), float(ref_loss), rtol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full-head forward parity: our LaneHead vs the reference RouterV2 (torch),
+# with weights exported from our flax params.
+# ---------------------------------------------------------------------------
+HP = dict(num_priors=64, sample_points=12, fc_hidden_dim=64,
+          prior_feat_channels=64, refine_layers=3)
+
+
+@pytest.fixture(scope="module")
+def ref_models(ref):
+    """Import libs.models.RouterV4 with CUDA/timm/torchvision bits stubbed."""
+    _stub("timm")
+    _stub("timm.models")
+    _stub("timm.models.layers", trunc_normal_=lambda *a, **k: None,
+          DropPath=object)
+    _stub("mmcv.cnn", ConvModule=object)
+    _stub("libs.ops", nms=types.SimpleNamespace(nms=None))
+    _stub("libs.ops.nms", nms=None)
+    _stub("libs.models.SeqFormer.util")
+    _stub("libs.models.SeqFormer.util.misc", NestedTensor=object)
+    from libs.models import RouterV4
+
+    return RouterV4
+
+
+def _our_head_cfg():
+    from phnet_tpu.config import (
+        BackboneConfig, HeadConfig, LaneSpec, MemoryConfig, ModelConfig,
+        NeckConfig, TestParams,
+    )
+
+    return ModelConfig(
+        img_h=IMG_H, img_w=IMG_W,
+        lane=LaneSpec(n_offsets=N_OFFSETS, n_lengths=2),
+        backbone=BackboneConfig(),
+        neck=NeckConfig(),
+        head=HeadConfig(
+            num_priors=HP["num_priors"], sample_points=HP["sample_points"],
+            fc_hidden_dim=HP["fc_hidden_dim"],
+            prior_feat_channels=HP["prior_feat_channels"],
+            refine_layers=HP["refine_layers"], num_fc=2,
+            decoder_layers=2, decoder_heads=8, decoder_ffn_dim=256,
+            decoder_dropout=0.1, pos_encoding="sine", pos_temperature=16.0,
+            pos_normalize=True,
+        ),
+        memory=MemoryConfig(window=5, slots_per_frame=5),
+        test=TestParams(),
+        max_lanes=8,
+    )
+
+
+def _export_head_weights(torch, params):
+    """flax LaneHead params -> reference RouterV2 state_dict."""
+    import numpy as onp
+
+    def t(a):
+        return torch.tensor(onp.asarray(a, dtype=onp.float32))
+
+    sd = {}
+    sd["prior_embeddings.weight"] = t(params["prior_embeddings"])
+    sd["pro_embedding.weight"] = t(params["pro_embedding"])
+
+    # merged branch heads -> cls/reg module stacks (head 0 = cls, 1 = reg)
+    for branch, suffix in (("heads_fir", ""), ("heads_sec", "_sec")):
+        hp = params[branch]
+        for i in range(2):
+            k = onp.asarray(hp[f"fc{i}_kernel"])
+            b = onp.asarray(hp[f"fc{i}_bias"])
+            sd[f"cls_modules{suffix}.{2 * i}.weight"] = t(k[0].T)
+            sd[f"cls_modules{suffix}.{2 * i}.bias"] = t(b[0])
+            sd[f"reg_modules{suffix}.{2 * i}.weight"] = t(k[1].T)
+            sd[f"reg_modules{suffix}.{2 * i}.bias"] = t(b[1])
+        sd[f"cls_layers{suffix}.weight"] = t(onp.asarray(hp["out0_kernel"]).T)
+        sd[f"cls_layers{suffix}.bias"] = t(hp["out0_bias"])
+        sd[f"reg_layers{suffix}.weight"] = t(onp.asarray(hp["out1_kernel"]).T)
+        sd[f"reg_layers{suffix}.bias"] = t(hp["out1_bias"])
+
+    # dynamic heads
+    for s in range(HP["refine_layers"]):
+        dp = params[f"dyn_head_{s}"]
+        pre = f"DHead_series.{s}"
+        for ours, theirs in (("gen1_a", "dynamic_layer_1.0"),
+                             ("gen1_b", "dynamic_layer_1.1"),
+                             ("gen2_a", "dynamic_layer_2.0"),
+                             ("gen2_b", "dynamic_layer_2.1"),
+                             ("out_a", "out_layer.0"),
+                             ("out_b", "out_layer.1")):
+            sd[f"{pre}.{theirs}.weight"] = t(onp.asarray(dp[ours]["kernel"]).T)
+            sd[f"{pre}.{theirs}.bias"] = t(dp[ours]["bias"])
+        for n in ("norm1", "norm2", "norm3"):
+            sd[f"{pre}.{n}.weight"] = t(dp[n]["scale"])
+            sd[f"{pre}.{n}.bias"] = t(dp[n]["bias"])
+
+    # router (per-stage params live in router_{s} on our side)
+    c, p = HP["prior_feat_channels"], HP["sample_points"]
+    for s in range(HP["refine_layers"]):
+        rp = params[f"router_{s}"]
+        taps = onp.asarray(rp["taps"])          # [A, blocks*18]
+        cbias = onp.asarray(rp["conv_bias"])    # [A, blocks*2]
+        lnp = onp.asarray(rp["ln_params"])      # [2+4b, C, P]
+        sd[f"router.pre_norm.{s}.weight"] = t(lnp[0])
+        sd[f"router.pre_norm.{s}.bias"] = t(lnp[1])
+        for b in range(4):
+            base = f"router.DWNets.{s}.{b}"
+            t1 = taps[:, (2 * b) * 9:(2 * b + 1) * 9].reshape(-1, 1, 3, 3)
+            t2 = taps[:, (2 * b + 1) * 9:(2 * b + 2) * 9].reshape(-1, 1, 3, 3)
+            o = 2 + 4 * b
+            sd[f"{base}.0.weight"] = t(t1)
+            sd[f"{base}.0.bias"] = t(cbias[:, 2 * b])
+            sd[f"{base}.1.weight"] = t(lnp[o])
+            sd[f"{base}.1.bias"] = t(lnp[o + 1])
+            sd[f"{base}.3.weight"] = t(t2)
+            sd[f"{base}.3.bias"] = t(cbias[:, 2 * b + 1])
+            sd[f"{base}.4.weight"] = t(lnp[o + 2])
+            sd[f"{base}.4.bias"] = t(lnp[o + 3])
+        sd[f"router.layers.{s}.0.weight"] = t(onp.asarray(rp["Dense_0"]["kernel"]).T)
+        sd[f"router.layers.{s}.0.bias"] = t(rp["Dense_0"]["bias"])
+        sd[f"router.layers.{s}.2.weight"] = t(onp.asarray(rp["Dense_1"]["kernel"]).T)
+        sd[f"router.layers.{s}.2.bias"] = t(rp["Dense_1"]["bias"])
+
+    # temporal decoder (fused qkv/kv on our side -> packed in_proj on theirs)
+    td = params["temporal_decoder"]
+    for i in range(2):
+        lp = td[f"layer{i}"]
+        pre = f"transformer_Dec.layers.{i}"
+        qkv_k = onp.asarray(lp["self_attn"]["qkv"]["kernel"])  # [D, 3D]
+        sd[f"{pre}.self_attn.in_proj_weight"] = t(qkv_k.T)
+        sd[f"{pre}.self_attn.in_proj_bias"] = t(lp["self_attn"]["qkv"]["bias"])
+        sd[f"{pre}.self_attn.out_proj.weight"] = t(
+            onp.asarray(lp["self_attn"]["out"]["kernel"]).T)
+        sd[f"{pre}.self_attn.out_proj.bias"] = t(lp["self_attn"]["out"]["bias"])
+        q_k = onp.asarray(lp["cross_attn"]["q"]["kernel"])    # [D, D]
+        kv_k = onp.asarray(lp["cross_attn"]["kv"]["kernel"])  # [D, 2D]
+        sd[f"{pre}.multihead_attn.in_proj_weight"] = t(
+            onp.concatenate([q_k.T, kv_k.T], axis=0))
+        sd[f"{pre}.multihead_attn.in_proj_bias"] = t(onp.concatenate([
+            onp.asarray(lp["cross_attn"]["q"]["bias"]),
+            onp.asarray(lp["cross_attn"]["kv"]["bias"])]))
+        sd[f"{pre}.multihead_attn.out_proj.weight"] = t(
+            onp.asarray(lp["cross_attn"]["out"]["kernel"]).T)
+        sd[f"{pre}.multihead_attn.out_proj.bias"] = t(
+            lp["cross_attn"]["out"]["bias"])
+        for ours, theirs in (("norm1", "norm1"), ("norm2", "norm2"),
+                             ("norm3", "norm3"), ("ffn1", "linear1"),
+                             ("ffn2", "linear2")):
+            node = lp[ours]
+            if "kernel" in node:
+                sd[f"{pre}.{theirs}.weight"] = t(onp.asarray(node["kernel"]).T)
+            else:
+                sd[f"{pre}.{theirs}.weight"] = t(node["scale"])
+            sd[f"{pre}.{theirs}.bias"] = t(node["bias"])
+    sd["transformer_Dec.norm.weight"] = t(td["final_norm"]["scale"])
+    sd["transformer_Dec.norm.bias"] = t(td["final_norm"]["bias"])
+    return sd
+
+
+@pytest.mark.parametrize("with_memory", [False, True])
+def test_head_forward_parity(ref, ref_models, with_memory):
+    """One frame through our LaneHead == the reference RouterV2 head, with
+    identical weights (exported from our params)."""
+    torch = ref.torch
+    from phnet_tpu.models.head import LaneHead
+
+    cfg = _our_head_cfg()
+    head = LaneHead(cfg)
+
+    rng = np.random.default_rng(0)
+    b, c = 1, HP["prior_feat_channels"]
+    sizes = [(48, 96), (24, 48), (12, 24)]  # fine -> coarse (FPN order)
+    feats = tuple(
+        jnp.array(rng.normal(size=(b, hh, ww, c)), jnp.float32)
+        for hh, ww in sizes
+    )
+    m = 7
+    mem_np = rng.normal(size=(HP["refine_layers"], m,
+                              2 * HP["fc_hidden_dim"])).astype(np.float32)
+    if with_memory:
+        mem_vals = jnp.array(mem_np)[None].transpose(0, 1, 2, 3)  # [B,S,M,2C]
+        mem_vals = jnp.array(mem_np)[None]
+        mem_mask = jnp.ones((b, m), bool)
+    else:
+        mem_vals = jnp.zeros((b, HP["refine_layers"], 1, 2 * HP["fc_hidden_dim"]))
+        mem_mask = jnp.zeros((b, 1), bool)
+
+    variables = head.init(jax.random.key(0), feats, mem_vals, mem_mask,
+                          train=False)
+    outs = head.apply(variables, feats, mem_vals, mem_mask, train=False)
+
+    # reference head with our weights
+    ref_cfg = types.SimpleNamespace(img_w=IMG_W, img_h=IMG_H,
+                                    num_points=N_OFFSETS)
+    det = ref_models.RouterV2(
+        prior_feat_channels=c, fc_hidden_dim=HP["fc_hidden_dim"],
+        num_priors=HP["num_priors"], num_fc=2,
+        refine_layers=HP["refine_layers"],
+        sample_points=HP["sample_points"], cfg=ref_cfg)
+    sd = _export_head_weights(torch, variables["params"])
+    missing, unexpected = det.load_state_dict(sd, strict=False)
+    # buffers (priors etc.) are derived; no real parameter may be missing
+    real_missing = [k for k in missing
+                    if not k.startswith(("priors", "sample_x", "prior_",
+                                         "PositionEmbedding."))]
+    assert not real_missing, real_missing
+    assert not unexpected, unexpected
+    det.eval()
+    # refresh derived priors from the loaded embeddings
+    init_priors, priors_on_fm = det.generate_priors_from_embeddings()
+    det.priors.data = init_priors
+    det.priors_on_featmap.data = priors_on_fm
+
+    t_feats = [torch.tensor(np.asarray(f).transpose(0, 3, 1, 2))
+               for f in feats]
+    if with_memory:
+        last_cuts = [[torch.tensor(mem_np[s][:, None, :])
+                      for s in range(HP["refine_layers"])]]
+    else:
+        last_cuts = []
+    with torch.no_grad():
+        out, attn_list, diff_list = det(t_feats, last_cuts=last_cuts)
+
+    # with memory, stages > 0 sit downstream of the decoder's f32
+    # attention reductions; einsum-vs-bmm accumulation order costs ~1e-3
+    rtol, atol = (2e-3, 2e-3) if with_memory else (2e-4, 5e-4)
+    for s in range(HP["refine_layers"]):
+        np.testing.assert_allclose(
+            np.asarray(outs.diff[s]),
+            diff_list[s].squeeze(-1).numpy(),
+            rtol=rtol, atol=atol, err_msg=f"diff stage {s}")
+        np.testing.assert_allclose(
+            np.asarray(outs.pred_fir[s]),
+            out["predictions_fir"][s].numpy(),
+            rtol=rtol, atol=atol, err_msg=f"pred_fir stage {s}")
+        np.testing.assert_allclose(
+            np.asarray(outs.pred_sec[s]),
+            out["predictions_sec"][s].numpy(),
+            rtol=rtol, atol=atol, err_msg=f"pred_sec stage {s}")

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--init", default=None, help="weights-only init checkpoint")
     ap.add_argument("--no-mesh", action="store_true")
+    ap.add_argument("--fp32", action="store_true",
+                    help="disable bf16 compute (reference trains with amp; "
+                         "bf16 is the TPU equivalent and ~1.3x faster)")
     args = ap.parse_args()
 
     import dataclasses
@@ -40,6 +43,10 @@ def main():
     from phnet_tpu.train.trainer import train
 
     cfg = vil100_config()
+    if not args.fp32:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, compute_dtype="bfloat16"))
     if args.epochs:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
