@@ -144,6 +144,11 @@ class HeadConfig:
     # head variant: "single" (RouterV4/Router4OL) or "multi" scale
     # (Router4OLV2: per-stage sample points / channels)
     variant: str = "single"
+    # Router4OLV3 cross-frame prior propagation: frame t-1's kept lanes
+    # return as K extra anchor rows decoded by dedicated "_last" heads
+    # (Router4OLV3.py:294-367); implies a one-frame memory window and the
+    # per-row MLP router (AdaptiveRouter4LaneV3)
+    propagate_priors: bool = False
     ms_sample_points: Tuple[int, ...] = (24, 48, 96)
     ms_channels: Tuple[int, ...] = (64, 32, 16)
 
@@ -381,6 +386,24 @@ def openlane_multiscale_config(n_offsets: int = 72, **overrides) -> Config:
             ms_channels=(64, 32, 16),
         ),
         routing="hard",
+    )
+    cfg = dataclasses.replace(base, model=model)
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def openlane_propagate_config(n_offsets: int = 72, **overrides) -> Config:
+    """Cross-frame prior-propagation OpenLane-V configuration (reference
+    ``Router4OLV3.py`` ``DetNetV3``/``RouterOL``): the OL preset with K =
+    ``max_lanes`` propagated prior slots, dedicated "_last" heads, the
+    per-row MLP router, a one-frame memory window, and no mean-negative
+    memory row (``saveMemory``, ``Router4OLV3.py:729-741``)."""
+    base = openlane_config(n_offsets=n_offsets)
+    model = dataclasses.replace(
+        base.model,
+        head=dataclasses.replace(base.model.head, propagate_priors=True),
+        # shape-consistent propagation needs exactly one frame of memory
+        # (memoryCont must row-align with priors_last, Router4OLV3.py:341)
+        memory=MemoryConfig(window=1, slots_per_frame=4),  # max_lanes, no neg
     )
     cfg = dataclasses.replace(base, model=model)
     return dataclasses.replace(cfg, **overrides) if overrides else cfg

@@ -186,6 +186,125 @@ def assign_frame(
     return hungarian_assign(cost, target_valid)
 
 
+def lane_iou_cost_pairwise(
+    pred_xs: jnp.ndarray,
+    target_xs: jnp.ndarray,
+    img_h: int,
+    img_w: int,
+    lane_width: float,
+    start: jnp.ndarray | None = None,
+    end: jnp.ndarray | None = None,
+    max_dx: float = 1e4,
+) -> jnp.ndarray:
+    """CLRerNet ``LaneIoUCost`` (``dynamic_assignV2.py:222-337``), pairwise.
+
+    pred_xs: [A, O] and target_xs: [L, O], both *relative* coordinates ->
+    IoU matrix [A, L]. Slope-adaptive virtual half-widths per row
+    (``_calc_lane_width``, ``dynamic_assignV2.py:68-90``); target dx spikes
+    above ``max_dx`` px are zeroed (padded -1e5 rows stay finite).
+
+    With ``start``/``end`` (pred start/end as row fractions, [A]), rows
+    outside the pred's span are invalidated and single-sided rows
+    contribute a virtual union of the present lane's full width
+    (``_set_invalid_with_start_end``, ``dynamic_assignV2.py:243-291``);
+    otherwise only target-invalid rows are zeroed
+    (``_set_invalid_without_start_end``).
+    """
+    n_offsets = pred_xs.shape[-1]
+    dy = img_h / (n_offsets - 1) * 2.0
+
+    def widths(xs, clamp):
+        dx = (xs[..., 2:] - xs[..., :-2]) * img_w
+        if clamp:
+            dx = jnp.where(jnp.abs(dx) > max_dx, 0.0, dx)
+        w = lane_width * jnp.sqrt(dx**2 + dy**2) / dy
+        return jnp.concatenate([w[..., :1], w, w[..., -1:]], axis=-1)
+
+    pw = widths(jax.lax.stop_gradient(pred_xs), clamp=False)  # [A, O]
+    tw = widths(target_xs, clamp=True)  # [L, O]
+    px1, px2 = pred_xs - pw, pred_xs + pw
+    tx1, tx2 = target_xs - tw, target_xs + tw
+    ovr = jnp.minimum(px2[:, None], tx2[None]) - jnp.maximum(
+        px1[:, None], tx1[None])  # [A, L, O]
+    union = jnp.maximum(px2[:, None], tx2[None]) - jnp.minimum(
+        px1[:, None], tx1[None])
+
+    invalid_gt = ((target_xs < 0) | (target_xs >= 1.0))[None]  # [1, L, O]
+    if start is None:
+        ovr = jnp.where(invalid_gt, 0.0, ovr)
+        union = jnp.where(invalid_gt, 0.0, union)
+    else:
+        yind = jnp.arange(n_offsets)[None, None, :]
+        start_idx = (start * (n_offsets - 1)).astype(jnp.int32)[:, None, None]
+        end_idx = (end * (n_offsets - 1)).astype(jnp.int32)[:, None, None]
+        invalid_pred = (
+            ((pred_xs < 0) | (pred_xs >= 1.0))[:, None, :]
+            | (yind < start_idx)
+            | (yind >= end_idx)
+        )  # [A, 1|L, O]
+        invalid_pred = jnp.broadcast_to(invalid_pred, ovr.shape)
+        invalid_any = invalid_pred | invalid_gt
+        ovr = jnp.where(invalid_any, 0.0, ovr)
+        union = jnp.where(invalid_any, 0.0, union)
+        # single-sided rows: union = present lane's full virtual width
+        union = union + jnp.where(
+            invalid_any & ~invalid_pred, 2.0 * pw[:, None], 0.0)
+        union = union + jnp.where(
+            invalid_any & ~jnp.broadcast_to(invalid_gt, ovr.shape),
+            2.0 * tw[None], 0.0)
+    return ovr.sum(-1) / (union.sum(-1) + 1e-9)
+
+
+def dynamic_topk_assign(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    spec: LaneSpec,
+    img_w: int = 768,
+    reg_weight: float = 3.0,
+    iou_img_h: int = 400,
+    iou_img_w: int = 960,
+    dynamick_width: float = 6.0 / 768,
+    cost_width: float = 12.0 / 768,
+    max_topk: int = 4,
+) -> jnp.ndarray:
+    """CLRerNet ``DynamicTopkAssigner.assign``
+    (``dynamic_assignV2.py:337-462``), masked fixed shapes.
+
+    predictions: [A, dim] (xs relative); targets: [L, dim] (xs in px, as
+    encoded labels); target_valid: [L] bool -> [A, L] bool match matrix.
+
+    Faithful quirks: the IoU costs use the constructor's hard-coded
+    ``img_h=400, img_w=960`` geometry (not the dataset's 384x768,
+    ``dynamic_assignV2.py:366-367``); the cls cost indexes the focal
+    pos-neg table at the GT label column, which is 1 for every lane row
+    (``targets[:, 1].long()``, ``dynamic_assignV2.py:455``); pred
+    start/end span the clamped ``start_y``/``start_y+length`` fractions
+    (``_clrernet_cost``, ``dynamic_assignV2.py:430-436``).
+    """
+    predictions = jax.lax.stop_gradient(predictions)
+    targets = jax.lax.stop_gradient(targets)
+
+    pred_xs = predictions[:, spec.col_xs:]
+    target_xs = targets[:, spec.col_xs:] / (img_w - 1)  # abs px -> relative
+
+    iou_dynamick = lane_iou_cost_pairwise(
+        pred_xs, target_xs, iou_img_h, iou_img_w, dynamick_width)
+
+    start = jnp.clip(predictions[:, spec.col_start_y], 0.0, 1.0)
+    end = jnp.clip(start + predictions[:, spec.col_length], 0.0, 1.0)
+    iou_cost = lane_iou_cost_pairwise(
+        pred_xs, target_xs, iou_img_h, iou_img_w, cost_width,
+        start=start, end=end)
+    one_minus = jnp.where(target_valid[None], 1.0 - iou_cost, -jnp.inf)
+    iou_score = 1.0 - (1.0 - iou_cost) / jnp.max(one_minus) + 1e-2
+    cls_score = _focal_cost_pos(predictions[:, :2])[:, None]
+    cost = -iou_score * reg_weight + cls_score  # [A, L]
+
+    return dynamic_k_assign(cost, iou_dynamick, target_valid,
+                            n_candidate_k=max_topk)
+
+
 def dynamic_k_assign(
     cost_al: jnp.ndarray, iou_al: jnp.ndarray, target_valid: jnp.ndarray,
     n_candidate_k: int = 4,

@@ -67,8 +67,33 @@ class InferFrameOut(NamedTuple):
     num_kept: jnp.ndarray    # [B] int32
 
 
-def init_memory(cfg: ModelConfig, batch: int, window: int) -> MemoryState:
+class V3MemoryState(NamedTuple):
+    """Carry of the prior-propagation variant (Router4OLV3): one frame of
+    per-stage kept-row features doubling as attention memory and as the
+    "_last" decode inputs, plus the kept predictions as next-frame priors.
+
+    feat:   [B, S, K, 2C] frame t-1 kept query rows per stage
+    priors: [B, K, dim]   frame t-1 kept predictions (priors_last)
+    mask:   [B, K]        slot validity
+    t:      scalar int32
+    """
+
+    feat: jnp.ndarray
+    priors: jnp.ndarray
+    mask: jnp.ndarray
+    t: jnp.ndarray
+
+
+def init_memory(cfg: ModelConfig, batch: int, window: int):
     h = cfg.head
+    if h.propagate_priors:
+        k = cfg.max_lanes
+        return V3MemoryState(
+            feat=jnp.zeros((batch, h.refine_layers, k, h.attn_dim)),
+            priors=jnp.zeros((batch, k, cfg.lane.dim)),
+            mask=jnp.zeros((batch, k), bool),
+            t=jnp.int32(0),
+        )
     slots = cfg.max_lanes + 1
     return MemoryState(
         values=jnp.zeros(
@@ -98,9 +123,118 @@ class _FrameStep(nn.Module):
     cfg: ModelConfig
     train_mode: bool
 
-    @nn.compact
-    def __call__(self, carry: MemoryState, xs):
+    def _nms_keeps(self, routed: jnp.ndarray):
+        """Confidence filter + lane NMS on routed predictions [B, R, dim].
+        Returns (kept [B, topk, dim], keep_idx [B, topk], num_kept [B])."""
         cfg = self.cfg
+        spec = cfg.lane
+        scores = jax.nn.softmax(routed[..., :2], axis=-1)[..., 1]
+        valid = scores >= cfg.test.conf_threshold
+        props = nms_proposals_from_predictions(routed, spec, cfg.img_w)
+        backend = cfg.nms_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+        if backend == "pallas":
+            from ..ops.nms_pallas import lane_nms_pallas
+
+            nms_fn = lambda p, sc, v: lane_nms_pallas(  # noqa: E731
+                p, sc, v, thresh=cfg.test.nms_thres,
+                n_offsets=spec.n_offsets, top_k=cfg.test.nms_topk)
+        else:
+            nms_fn = lambda p, sc, v: lane_nms(  # noqa: E731
+                p, sc, v, cfg.test.nms_thres,
+                n_offsets=spec.n_offsets, top_k=cfg.test.nms_topk)
+        keep_idx, num_kept, _ = jax.vmap(nms_fn)(props, scores, valid)
+        gather_idx = jnp.clip(keep_idx, 0, routed.shape[1] - 1)
+        kept = jnp.take_along_axis(
+            routed, gather_idx[..., None].astype(jnp.int32), axis=1
+        )
+        return kept, keep_idx, num_kept
+
+    def _v3_step(self, carry: "V3MemoryState", xs):
+        """Prior-propagation scan step (Router4OLV3 ``RouterOL.forward``,
+        ``Router4OLV3.py:676-727``): run the propagating head over
+        [A regular + K propagated] rows, then refresh the one-frame carry
+        with this frame's kept/matched rows.
+
+        The reference's training flow expects the criterion to hand back
+        ``priors_last`` (``:697``) but its shipped ``Criterion4OL`` never
+        does — the natural (and here implemented) reading: the propagated
+        priors are the last stage's second-branch predictions at the
+        matched anchors, exactly the rows whose features ``saveMemory``
+        stores (``:729-741``, which uses ``matched_indices[-1]`` for every
+        stage's features)."""
+        from .head_v3 import PropagatingLaneHead
+
+        cfg = self.cfg
+        feats, label = xs
+        a = cfg.head.num_priors
+        k = cfg.max_lanes
+
+        head = PropagatingLaneHead(cfg, name="head")
+        out = head(feats, carry.feat, carry.priors, carry.mask,
+                   train=self.train_mode)
+
+        spec = cfg.lane
+        if self.train_mode:
+            target_valid = label[..., 1] == 1.0
+            assign_batch = jax.vmap(
+                lambda p, tt, vv: assign_frame(
+                    p, tt, vv, spec, cfg.img_w, cfg.img_h)
+            )
+            matched = jax.vmap(
+                lambda ps: assign_batch(ps, label, target_valid))(
+                jax.lax.stop_gradient(out.pred_sec)
+            )  # [S, B, L]
+            idx = jnp.clip(matched[-1], 0, a + k - 1)[..., None]  # [B, L, 1]
+            feat_rows = jax.vmap(
+                lambda qf: jnp.take_along_axis(qf, idx, axis=1))(
+                jax.lax.stop_gradient(out.query_feat)
+            )  # [S, B, L, D]
+            feat_rows = jnp.swapaxes(feat_rows, 0, 1)  # [B, S, L, D]
+            feat_rows = jnp.where(
+                target_valid[:, None, :, None], feat_rows, 0.0)
+            priors_next = jnp.take_along_axis(
+                jax.lax.stop_gradient(out.pred_sec[-1]), idx, axis=1)
+            carry = V3MemoryState(
+                feat=feat_rows, priors=priors_next, mask=target_valid,
+                t=carry.t + 1,
+            )
+            step_out = TrainFrameOut(
+                pred_fir=out.pred_fir, pred_sec=out.pred_sec, diff=out.diff,
+                matched_sec=matched,
+            )
+        else:
+            routed = route_predictions(cfg, out)  # [B, A+K, dim]
+            kept, keep_idx, num_kept = self._nms_keeps(routed)
+            kept_valid = keep_idx >= 0
+            b = routed.shape[0]
+            slot_idx = jnp.full((b, k), -1, jnp.int32)
+            slot_idx = slot_idx.at[:, : keep_idx.shape[1]].set(
+                keep_idx[:, :k])
+            slot_valid = slot_idx >= 0
+            idx = jnp.clip(slot_idx, 0, a + k - 1)[..., None]
+            feat_rows = jax.vmap(
+                lambda qf: jnp.take_along_axis(qf, idx, axis=1))(
+                out.query_feat)
+            feat_rows = jnp.swapaxes(feat_rows, 0, 1)
+            feat_rows = jnp.where(
+                slot_valid[:, None, :, None], feat_rows, 0.0)
+            priors_next = jnp.take_along_axis(routed, idx, axis=1)
+            carry = V3MemoryState(
+                feat=feat_rows, priors=priors_next, mask=slot_valid,
+                t=carry.t + 1,
+            )
+            step_out = InferFrameOut(
+                kept=kept, kept_valid=kept_valid, num_kept=num_kept
+            )
+        return carry, step_out
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        cfg = self.cfg
+        if cfg.head.propagate_priors:
+            return self._v3_step(carry, xs)
         feats, label = xs  # feats: tuple of [B, h, w, c]; label: [B, L, dim]
         b = feats[0].shape[0]
         s = cfg.head.refine_layers
@@ -140,28 +274,8 @@ class _FrameStep(nn.Module):
             )
         else:
             routed = route_predictions(cfg, out)  # [B, A, dim]
-            scores = jax.nn.softmax(routed[..., :2], axis=-1)[..., 1]
-            valid = scores >= cfg.test.conf_threshold
-            props = nms_proposals_from_predictions(routed, spec, cfg.img_w)
-            backend = cfg.nms_backend
-            if backend == "auto":
-                backend = "pallas" if jax.default_backend() == "tpu" else "jax"
-            if backend == "pallas":
-                from ..ops.nms_pallas import lane_nms_pallas
-
-                nms_fn = lambda p, sc, v: lane_nms_pallas(  # noqa: E731
-                    p, sc, v, thresh=cfg.test.nms_thres,
-                    n_offsets=spec.n_offsets, top_k=cfg.test.nms_topk)
-            else:
-                nms_fn = lambda p, sc, v: lane_nms(  # noqa: E731
-                    p, sc, v, cfg.test.nms_thres,
-                    n_offsets=spec.n_offsets, top_k=cfg.test.nms_topk)
-            keep_idx, num_kept, _ = jax.vmap(nms_fn)(props, scores, valid)
+            kept, keep_idx, num_kept = self._nms_keeps(routed)
             kept_valid = keep_idx >= 0
-            gather_idx = jnp.clip(keep_idx, 0, routed.shape[1] - 1)
-            kept = jnp.take_along_axis(
-                routed, gather_idx[..., None].astype(jnp.int32), axis=1
-            )
             # pad keep slots up to the memory slot count (max_lanes)
             l = cfg.max_lanes
             slot_idx = jnp.full((b, l), -1, jnp.int32)

@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--synthetic-videos", type=int, default=2)
     ap.add_argument("--synthetic-frames", type=int, default=8)
+    ap.add_argument(
+        "--variant", choices=("single", "multiscale", "propagate"),
+        default="single",
+        help="head variant: single (Router4OL), multiscale (Router4OLV2, "
+             "reference testOLV3.py path), propagate (Router4OLV3 "
+             "cross-frame prior propagation)")
     args = ap.parse_args()
 
     import dataclasses
@@ -35,11 +41,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from phnet_tpu.config import openlane_config
+    from phnet_tpu.config import (
+        openlane_config, openlane_multiscale_config, openlane_propagate_config,
+    )
     from phnet_tpu.models import PHNet
     from phnet_tpu.pipeline import InferencePipeline
 
-    cfg = openlane_config(n_offsets=args.n_offsets)
+    make_cfg = {
+        "single": openlane_config,
+        "multiscale": openlane_multiscale_config,
+        "propagate": openlane_propagate_config,
+    }[args.variant]
+    cfg = make_cfg(n_offsets=args.n_offsets)
     model = PHNet(cfg.model)
 
     if args.synthetic:

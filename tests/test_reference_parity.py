@@ -65,10 +65,11 @@ def ref():
     # libs.dataset.__init__ pulls data.py which does `from optionsV2 import
     # OPTION` (an options file expected at the reference repo root)
     _stub("optionsV2", OPTION=types.SimpleNamespace(max_object=8, root="."))
-    from libs.utils import dynamic_assign, loss4OLV3, lossV5
+    from libs.utils import dynamic_assign, dynamic_assignV2, loss4OLV3, lossV5
 
     return types.SimpleNamespace(
-        torch=torch, dynamic_assign=dynamic_assign, lossV5=lossV5,
+        torch=torch, dynamic_assign=dynamic_assign,
+        dynamic_assignV2=dynamic_assignV2, lossV5=lossV5,
         loss4OLV3=loss4OLV3)
 
 
@@ -134,6 +135,27 @@ def test_assign_matches_reference_ol(ref, seed, n_valid):
         jnp.array(preds), jnp.array(tgts), jnp.array(valid),
         spec, IMG_W, IMG_H))
     our_pairs = {(int(ours[i]), i) for i in range(L) if valid[i]}
+    assert our_pairs == ref_pairs
+
+
+@pytest.mark.parametrize("seed,n_valid", [(0, 1), (1, 2), (2, 4), (3, 6)])
+def test_dynamic_topk_assigner_matches_reference(ref, seed, n_valid):
+    """ours == dynamic_assignV2.DynamicTopkAssigner.assign (OL layout,
+    CLRerNet LaneIoU costs, dynamic-k matching)."""
+    from phnet_tpu.losses.assign import dynamic_topk_assign
+
+    spec = LaneSpec(n_offsets=N_OFFSETS, n_lengths=1)
+    preds, tgts = make_problem(seed + 40, 1, n_valid)
+    valid = tgts[:, 1] == 1
+
+    assigner = ref.dynamic_assignV2.DynamicTopkAssigner()
+    rows, cols = assigner.assign(
+        ref.torch.tensor(preds), ref.torch.tensor(tgts[valid]))
+    ref_pairs = set(zip(rows.tolist(), cols.tolist()))
+
+    match = np.array(dynamic_topk_assign(
+        jnp.array(preds), jnp.array(tgts), jnp.array(valid), spec, IMG_W))
+    our_pairs = {(a, t) for a in range(A) for t in range(L) if match[a, t]}
     assert our_pairs == ref_pairs
 
 

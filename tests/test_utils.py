@@ -210,3 +210,32 @@ def test_visualization(tmp_path):
     assert len(paths) == 2
     import os
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_profiler_stage_breakdown():
+    """Profiling subsystem (SURVEY §5.1 gap): stage timings + XLA cost
+    analysis + roofline fields come back populated on a tiny model."""
+    from test_model import tiny_cfg
+    from phnet_tpu.utils.profiler import (
+        cost_summary, format_breakdown, latency_profile, stage_breakdown,
+    )
+
+    report = stage_breakdown(tiny_cfg(), chunk=2, iters=1)
+    assert set(report) == {"encode", "detect", "e2e", "nms"}
+    for name in ("encode", "detect", "e2e"):
+        r = report[name]
+        assert r["ms_per_frame"] > 0
+        assert r["flops"] > 0
+        assert r["bound"] in ("compute", "memory")
+        assert 0 <= r["mfu"]
+    table = format_breakdown(report)
+    assert "encode" in table and "GFLOP" in table
+
+    # latency_profile on a trivial blocking step
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((8, 8))
+    lat = latency_profile(lambda: np.array(f(x)), iters=5, warmup=1)
+    assert lat["p50_ms"] > 0 and lat["p99_ms"] >= lat["p50_ms"]
+
+    cs = cost_summary(lambda x: x @ x, jnp.ones((64, 64)))
+    assert cs["flops"] > 0 and cs["roofline_ms"] > 0

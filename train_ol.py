@@ -28,18 +28,31 @@ def main():
     ap.add_argument("--fp32", action="store_true",
                     help="disable bf16 compute (reference trains with amp; "
                          "bf16 is the TPU equivalent and ~1.3x faster)")
+    ap.add_argument(
+        "--variant", choices=("single", "multiscale", "propagate"),
+        default="single",
+        help="head variant: single (Router4OL / trainOL.py), multiscale "
+             "(Router4OLV2 / trainOLV3.py), propagate (Router4OLV3 "
+             "cross-frame prior propagation)")
     args = ap.parse_args()
 
     import dataclasses
 
     import jax
 
-    from phnet_tpu.config import openlane_config
+    from phnet_tpu.config import (
+        openlane_config, openlane_multiscale_config, openlane_propagate_config,
+    )
     from phnet_tpu.data import ClipLoader, SyntheticVideoDataset, TrainAugment
     from phnet_tpu.parallel import make_mesh
     from phnet_tpu.train.trainer import train
 
-    cfg = openlane_config(n_offsets=args.n_offsets)
+    make_cfg = {
+        "single": openlane_config,
+        "multiscale": openlane_multiscale_config,
+        "propagate": openlane_propagate_config,
+    }[args.variant]
+    cfg = make_cfg(n_offsets=args.n_offsets)
     if not args.fp32:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
