@@ -9,6 +9,18 @@ intermediate) maps back, followed by a flattening output MLP.
 TPU mapping: the per-anchor bmm's become batched ``einsum`` contractions —
 dense MXU work batched over (B, A); the weight-generator MLPs are the FLOPs
 hot spot of the whole head and map straight onto the MXU.
+
+Weight-generator collapse: the reference's generators are two stacked
+``nn.Linear`` layers with *no activation between them*
+(``dynamic_head.py:24-27`` — ``dynamic_layer_1/2`` are ``Sequential(Linear,
+Linear)``), i.e. an affine∘affine chain. Whenever the input is narrower
+than the generator bottleneck (the first generator: pro_dim=C=64 vs
+hid=1024 on the VIL preset) the pair is computed as a *single* matmul
+against the pre-combined matrix ``K_a @ K_b`` — the exact same function,
+~16x fewer per-anchor FLOPs, and the combine itself depends only on
+parameters so it is loop-invariant across the temporal frame scan. The
+second generator (input P*D=4608 > hid) and the out layer keep the
+factored form, which is cheaper there.
 """
 
 from __future__ import annotations
@@ -16,6 +28,20 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def _dense_param(module: nn.Module, name: str, in_dim: int, out_dim: int):
+    """A {kernel, bias} pair matching ``nn.Dense``'s parameter layout
+    (lecun-normal kernel, zero bias), declared as one dict-valued param so
+    the tree looks identical to an ``nn.Dense`` submodule's."""
+    kernel_init = nn.initializers.lecun_normal()
+    return module.param(
+        name,
+        lambda key: {
+            "kernel": kernel_init(key, (in_dim, out_dim)),
+            "bias": jnp.zeros((out_dim,)),
+        },
+    )
 
 
 class DynamicConv(nn.Module):
@@ -33,6 +59,22 @@ class DynamicConv(nn.Module):
     out_hidden: int = 0  # 0 -> hidden_dim * out_expand
     dtype: jnp.dtype = jnp.float32
 
+    def _affine_chain(self, x, pa, pb):
+        """x -> (x @ Ka + ba) @ Kb + bb, collapsed into one matmul when the
+        input is narrower than the bottleneck (per-anchor FLOPs:
+        direct in*out vs factored in*hid + hid*out; with out >> in the
+        crossover is hid ≈ in). The combine runs in f32 on parameters only
+        — loop-invariant, and exact up to float reassociation."""
+        in_dim = x.shape[-1]
+        hid = pa["kernel"].shape[1]
+        if hid >= in_dim:
+            w = pa["kernel"] @ pb["kernel"]
+            b = pa["bias"] @ pb["kernel"] + pb["bias"]
+            return x @ w.astype(self.dtype) + b.astype(self.dtype)
+        y = x @ pa["kernel"].astype(self.dtype) + pa["bias"].astype(self.dtype)
+        return y @ pb["kernel"].astype(self.dtype) + pb["bias"].astype(
+            self.dtype)
+
     @nn.compact
     def __call__(self, pro_feat: jnp.ndarray, roi_feat: jnp.ndarray) -> jnp.ndarray:
         """pro_feat: [B, A, pro_dim]; roi_feat: [B, A, P, C] -> [B, A, out]."""
@@ -45,10 +87,17 @@ class DynamicConv(nn.Module):
 
         pro_feat = pro_feat.astype(self.dtype)
         roi_feat = roi_feat.astype(self.dtype)
+        pro_dim = pro_feat.shape[-1]
+
+        g1a = _dense_param(self, "gen1_a", pro_dim, hid)
+        g1b = _dense_param(self, "gen1_b", hid, num_params)
+        g2a = _dense_param(self, "gen2_a", self.feat_size * d, hid)
+        g2b = _dense_param(self, "gen2_b", hid, num_params)
+        oa = _dense_param(self, "out_a", self.feat_size * c, out_hidden)
+        ob = _dense_param(self, "out_b", out_hidden, out_dim)
 
         # first generated weight: [B, A, C, D]
-        w1 = nn.Dense(hid, dtype=self.dtype, name="gen1_a")(pro_feat)
-        w1 = nn.Dense(num_params, dtype=self.dtype, name="gen1_b")(w1)
+        w1 = self._affine_chain(pro_feat, g1a, g1b)
         w1 = w1.reshape(*w1.shape[:-1], c, d)
         feats = jnp.einsum("bapc,bacd->bapd", roi_feat, w1)
         feats = nn.LayerNorm(dtype=self.dtype, name="norm1")(feats)
@@ -59,15 +108,13 @@ class DynamicConv(nn.Module):
         gen_in = jax.lax.stop_gradient(feats).reshape(
             *feats.shape[:-2], self.feat_size * d
         )
-        w2 = nn.Dense(hid, dtype=self.dtype, name="gen2_a")(gen_in)
-        w2 = nn.Dense(num_params, dtype=self.dtype, name="gen2_b")(w2)
+        w2 = self._affine_chain(gen_in, g2a, g2b)
         w2 = w2.reshape(*w2.shape[:-1], d, c)
         feats = jnp.einsum("bapd,badc->bapc", feats, w2)
         feats = nn.LayerNorm(dtype=self.dtype, name="norm2")(feats)
         feats = nn.relu(feats)
 
         flat = feats.reshape(*feats.shape[:-2], self.feat_size * c)
-        out = nn.Dense(out_hidden, dtype=self.dtype, name="out_a")(flat)
-        out = nn.Dense(out_dim, dtype=self.dtype, name="out_b")(out)
+        out = self._affine_chain(flat, oa, ob)
         out = nn.LayerNorm(dtype=self.dtype, name="norm3")(out)
         return out.astype(jnp.float32)

@@ -1,5 +1,6 @@
 from .logger import AverageMeter, TextLogger
 from .profiler import (
+    checksum,
     cost_summary,
     format_breakdown,
     latency_profile,
@@ -9,6 +10,7 @@ from .profiler import (
 __all__ = [
     "AverageMeter",
     "TextLogger",
+    "checksum",
     "cost_summary",
     "format_breakdown",
     "latency_profile",

@@ -76,10 +76,31 @@ def cost_summary(fn: Callable, *args, fps: Optional[float] = None,
     return out
 
 
+def checksum(fn: Callable) -> Callable:
+    """Wrap ``fn`` so it returns a single float32 scalar that depends on
+    every output element. Fetching that scalar to the host is a sync that
+    cannot complete before the computation has: on remote-tunnel backends
+    (axon) ``jax.block_until_ready`` returns once dispatch is queued, so
+    wall-clock timing MUST synchronize through a device->host transfer."""
+
+    def wrapped(*args):
+        out = fn(*args)
+        leaves = jax.tree_util.tree_leaves(out)
+        s = jnp.float32(0)
+        for leaf in leaves:
+            s = s + jnp.sum(leaf.astype(jnp.float32))
+        return s
+
+    return wrapped
+
+
 def latency_profile(step: Callable[[], None], iters: int = 100,
                     warmup: int = 10) -> Dict[str, float]:
     """p50/p90/p99/mean of ``step()`` wall time in ms. ``step`` must block
-    until the device work is done (e.g. end with ``np.array(...)``)."""
+    until the device work is done by fetching a result to the host (e.g.
+    end with ``np.array(...)`` / ``float(...)`` on an output; see
+    :func:`checksum` — ``block_until_ready`` is NOT a reliable fence on
+    remote-tunnel backends)."""
     for _ in range(warmup):
         step()
     lat = []
@@ -162,29 +183,51 @@ def stage_breakdown(cfg=None, chunk: int = 25, iters: int = 20,
 
     e2e = jax.jit(e2e_fn)
 
-    def timeit(run) -> float:
-        run()  # compile + warm
-        run()
+    # Timing protocol for remote backends (axon): back-to-back dispatches
+    # queue in order on the device; one host fetch of a checksum scalar at
+    # the end is the fence (block_until_ready returns at dispatch, see
+    # checksum()). The measured one-way sync cost (RTT of a trivial scalar
+    # fetch) is subtracted so per-stage numbers reflect device time.
+    encode_ck = jax.jit(checksum(lambda v, f: encode(v, f)))
+    detect_ck = jax.jit(checksum(lambda v, fe, m: detect(v, fe, m)))
+    e2e_ck = jax.jit(checksum(lambda v, f, m: e2e(v, f, m)))
+
+    trivial = jax.jit(lambda: jnp.float32(0))
+    float(trivial())
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(trivial())
+    rtt_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+    def timeit(dispatch, sync) -> float:
+        """ms per call: `iters-1` queued dispatches + one synced call,
+        minus the measured sync RTT."""
+        sync()  # compile + warm both graphs
+        dispatch()
+        sync()
         t0 = time.perf_counter()
-        for _ in range(iters):
-            run()
-        return (time.perf_counter() - t0) / iters * 1e3
+        for _ in range(iters - 1):
+            dispatch()
+        sync()
+        total = (time.perf_counter() - t0) * 1e3
+        return max(total - rtt_ms, 1e-6) / iters
 
-    report: Dict[str, Dict[str, float]] = {}
+    report: Dict[str, Dict[str, float]] = {"sync": {"ms_per_frame": rtt_ms}}
 
-    enc_ms = timeit(lambda: jax.block_until_ready(encode(variables, frames)))
+    enc_ms = timeit(lambda: encode(variables, frames),
+                    lambda: float(encode_ck(variables, frames)))
     report["encode"] = {"ms_per_chunk": enc_ms, "ms_per_frame": enc_ms / chunk}
     report["encode"].update(cost_summary(
         encode, variables, frames, fps=1e3 / enc_ms))
 
-    det_ms = timeit(
-        lambda: jax.block_until_ready(detect(variables, feats, mem0)))
+    det_ms = timeit(lambda: detect(variables, feats, mem0),
+                    lambda: float(detect_ck(variables, feats, mem0)))
     report["detect"] = {"ms_per_chunk": det_ms, "ms_per_frame": det_ms / chunk}
     report["detect"].update(cost_summary(
         detect, variables, feats, mem0, fps=1e3 / det_ms))
 
-    e2e_ms = timeit(
-        lambda: jax.block_until_ready(e2e(variables, frames, mem0)))
+    e2e_ms = timeit(lambda: e2e(variables, frames, mem0),
+                    lambda: float(e2e_ck(variables, frames, mem0)))
     report["e2e"] = {"ms_per_chunk": e2e_ms, "ms_per_frame": e2e_ms / chunk}
     report["e2e"].update(cost_summary(
         e2e, variables, frames, mem0, fps=1e3 / e2e_ms))
@@ -201,7 +244,8 @@ def stage_breakdown(cfg=None, chunk: int = 25, iters: int = 20,
                         cfg.test.nms_thres, spec.n_offsets, cfg.test.nms_topk)
 
     nms = jax.jit(nms_fn)
-    nms_ms = timeit(lambda: jax.block_until_ready(nms(preds)))
+    nms_ck = jax.jit(checksum(nms_fn))
+    nms_ms = timeit(lambda: nms(preds), lambda: float(nms_ck(preds)))
     report["nms"] = {"ms_per_frame": nms_ms}
     report["nms"].update(cost_summary(nms, preds, fps=1e3 / nms_ms))
     return report

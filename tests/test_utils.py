@@ -221,7 +221,7 @@ def test_profiler_stage_breakdown():
     )
 
     report = stage_breakdown(tiny_cfg(), chunk=2, iters=1)
-    assert set(report) == {"encode", "detect", "e2e", "nms"}
+    assert set(report) == {"sync", "encode", "detect", "e2e", "nms"}
     for name in ("encode", "detect", "e2e"):
         r = report[name]
         assert r["ms_per_frame"] > 0
