@@ -17,7 +17,12 @@ Behaviours reproduced: top ``cut_scale`` crop with lane-y correction
 
 The active model ignores the flow/segmentation inputs (they are loaded but
 unused in ``RouterWithB.forward``); both are optional here and off by
-default.
+default. When enabled they are loaded *before* augmentation and ride the
+same geometric transforms as the image (the reference passes them through
+one imgaug call as SegmentationMaps/Heatmaps, transformV4.py:236-246);
+flow jpgs are dequantized per ``dataV3.py:168-176``. The stochastic
+augmentation is retried up to 30 times if label encoding fails
+(transformV4.py:241-259).
 """
 
 from __future__ import annotations
@@ -31,6 +36,7 @@ import numpy as np
 
 from ..config import DataConfig, LaneSpec, TrainConfig
 from ..geometry import encode_lane_label
+from .flow import dequantize_flow
 from .transforms import Normalize, TrainAugment, resize_with_lanes
 
 MAX_TRAINING_SKIP = 100
@@ -114,43 +120,85 @@ class VIL100Dataset:
         ori_h, ori_w = first.shape[:2]
         cut = int(ori_h * self.cfg.cut_scale)
 
-        imgs, labels, points, segs = [], [], [], []
+        imgs, labels, points, segs, flows = [], [], [], [], []
         for name in sample_frames:
-            img = cv2.imread(os.path.join(self.imgdir, vid, name + ".jpg"))
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)[cut:]
+            img0 = cv2.imread(os.path.join(self.imgdir, vid, name + ".jpg"))
+            img0 = cv2.cvtColor(img0, cv2.COLOR_BGR2RGB)[cut:]
             with open(os.path.join(jsonfolder, name + ".jpg.json")) as f:
                 info = json.load(f)
-            lanes, lane_ids = [], []
+            lanes0, lane_ids0 = [], []
             for lane in info["annotations"]["lane"]:
                 pts = np.array(
                     [(p[0], p[1] - cut) for p in lane["points"]], np.float32)
                 if len(pts) < 2:
                     continue
-                lanes.append(pts)
-                lane_ids.append(lane["lane_id"] - 1)
+                lanes0.append(pts)
+                lane_ids0.append(lane["lane_id"] - 1)
+            seg0 = flow0 = None
+            if self.load_seg:
+                seg0 = cv2.imread(
+                    os.path.join(self.annodir, vid, name + ".png"),
+                    cv2.IMREAD_GRAYSCALE)[cut:]
+            if self.load_flow:
+                # quantized Farneback flow jpgs (dataV3.py:168-176)
+                u = cv2.imread(os.path.join(self.flowdir, vid, name + "u.jpg"),
+                               cv2.IMREAD_GRAYSCALE)
+                v = cv2.imread(os.path.join(self.flowdir, vid, name + "v.jpg"),
+                               cv2.IMREAD_GRAYSCALE)
+                if u is not None and v is not None:
+                    flow0 = dequantize_flow(
+                        u, v, *u.shape[:2])[cut:].astype(np.float32)
+
             if self.augment is not None and self.train:
                 # ids travel with their lanes: a lane clipped away by the
                 # affine drops its own id (reference keys label rows by
-                # lane_id, transformV4.py:183-216)
-                img, lanes, lane_ids = self.augment(img, lanes, lane_ids)
+                # lane_id, transformV4.py:183-216). Seg/flow planes ride
+                # the same geometric ops. The stochastic transform gets up
+                # to 30 tries if label encoding fails (transformV4.py:241-259).
+                for attempt in range(30):
+                    try:
+                        res = self.augment(img0, lanes0, lane_ids0,
+                                           seg=seg0, flow=flow0)
+                        img, lanes, lane_ids = res[0], res[1], res[2]
+                        k = 3
+                        seg = flow = None
+                        if seg0 is not None:
+                            seg = res[k]
+                            k += 1
+                        if flow0 is not None:
+                            flow = res[k]
+                        label = encode_lane_label(
+                            [list(map(tuple, p[np.argsort(-p[:, 1])]))
+                             for p in lanes],
+                            lane_ids, self.spec, self.cfg.img_h,
+                            self.cfg.img_w, self.cfg.max_lanes,
+                        )
+                        break
+                    except Exception:
+                        if attempt == 29:
+                            raise
             else:
                 img, lanes = resize_with_lanes(
-                    img, lanes, self.cfg.img_h, self.cfg.img_w)
-            label = encode_lane_label(
-                [list(map(tuple, p[np.argsort(-p[:, 1])])) for p in lanes],
-                lane_ids, self.spec, self.cfg.img_h, self.cfg.img_w,
-                self.cfg.max_lanes,
-            )
+                    img0, lanes0, self.cfg.img_h, self.cfg.img_w)
+                lane_ids = lane_ids0
+                seg = None if seg0 is None else cv2.resize(
+                    seg0, (self.cfg.img_w, self.cfg.img_h),
+                    interpolation=cv2.INTER_NEAREST)
+                flow = None if flow0 is None else cv2.resize(
+                    flow0, (self.cfg.img_w, self.cfg.img_h),
+                    interpolation=cv2.INTER_LINEAR)
+                label = encode_lane_label(
+                    [list(map(tuple, p[np.argsort(-p[:, 1])])) for p in lanes],
+                    lane_ids, self.spec, self.cfg.img_h, self.cfg.img_w,
+                    self.cfg.max_lanes,
+                )
             imgs.append(self.normalize(img))
             labels.append(label)
             points.append(lanes)
-            if self.load_seg:
-                seg = cv2.imread(
-                    os.path.join(self.annodir, vid, name + ".png"),
-                    cv2.IMREAD_GRAYSCALE)[cut:]
-                segs.append(cv2.resize(
-                    seg, (self.cfg.img_w, self.cfg.img_h),
-                    interpolation=cv2.INTER_NEAREST))
+            if seg is not None:
+                segs.append(seg)
+            if flow is not None:
+                flows.append(flow)
 
         out = {
             "name": vid,
@@ -161,6 +209,8 @@ class VIL100Dataset:
             "cut": cut,
             "frame_names": sample_frames,
         }
-        if self.load_seg:
+        if segs:
             out["seg"] = np.stack(segs)
+        if flows:
+            out["flow"] = np.stack(flows)
         return out

@@ -155,6 +155,107 @@ def test_vil_lane_ids_survive_clipped_middle_lane(vil_tree, tmp_path):
     assert valid_xs.size > 0 and valid_xs.mean() > 96  # right half of 192px
 
 
+def test_vil_dataset_loads_seg_and_flow(vil_tree):
+    """load_seg/load_flow planes come back clip-shaped and co-augmented
+    (flow jpgs per dataV3.py:168-176 quantization)."""
+    root, (ori_h, ori_w) = vil_tree
+    vid = "0_Road001_Trim001"
+    fdir = os.path.join(root, "VIL100", "Flow", vid)
+    os.makedirs(fdir, exist_ok=True)
+    for i in range(4):
+        name = f"{i:05d}"
+        cv2.imwrite(os.path.join(fdir, name + "u.jpg"),
+                    np.full((ori_h, ori_w), 200, np.uint8))
+        cv2.imwrite(os.path.join(fdir, name + "v.jpg"),
+                    np.full((ori_h, ori_w), 55, np.uint8))
+
+    cfg = DataConfig(root=root, img_h=96, img_w=192, cut_scale=0.35,
+                     max_lanes=8)
+    spec = LaneSpec(36, 2)
+    aug = TrainAugment(img_h=96, img_w=192, rng=np.random.default_rng(0),
+                       p_affine=1.0)
+    ds = VIL100Dataset(cfg, spec, train=True, sampled_frames=2,
+                       samples_per_video=1, augment=aug,
+                       load_seg=True, load_flow=True)
+    clip = ds[0]
+    assert clip["seg"].shape == (2, 96, 192)
+    assert clip["flow"].shape == (2, 96, 192, 2)
+    # u=200 quantized -> positive u; v=55 -> negative v (bound scaling)
+    interior = clip["flow"][:, 20:70, 40:150]
+    assert interior[..., 0].mean() > 0
+    assert interior[..., 1].mean() < 0
+
+
+def test_clip_interpolates_border_crossings():
+    """imgaug clip_out_of_image_ keeps the in-image part of a segment that
+    crosses the border, with the crossing point ON the border — not just
+    the in-image vertices (transformV4.py:246)."""
+    from phnet_tpu.data.transforms import _clip_lanes
+
+    # one segment from inside to far outside the right edge
+    lane = np.array([[100.0, 50.0], [300.0, 90.0]], np.float32)
+    lanes, ids = _clip_lanes([lane], h=96, w=192, ids=[4])
+    assert ids == [4]
+    (pts,) = lanes
+    np.testing.assert_allclose(pts[0], [100.0, 50.0], atol=1e-4)
+    # exit point interpolated onto x = w boundary, y on the segment
+    assert abs(pts[-1][0] - 192.0) < 1e-2
+    expect_y = 50.0 + (192.0 - 100.0) / (300.0 - 100.0) * (90.0 - 50.0)
+    assert abs(pts[-1][1] - expect_y) < 1e-2
+
+    # exits and re-enters: the longer in-image piece is kept
+    zig = np.array([[10.0, 50.0], [-50.0, 55.0], [-40.0, 60.0],
+                    [20.0, 65.0], [80.0, 70.0], [120.0, 80.0]], np.float32)
+    lanes2, _ = _clip_lanes([zig], h=96, w=192, ids=[0])
+    assert len(lanes2) == 1
+    assert (lanes2[0][:, 0] >= 0).all() and (lanes2[0][:, 0] <= 192).all()
+    assert len(lanes2[0]) >= 4  # the re-entry run has the most points
+
+
+def test_augment_cotransforms_seg_and_flow():
+    """Seg masks and flow planes must ride the same geometric ops as the
+    image (reference passes them as SegmentationMaps/Heatmaps through one
+    imgaug call, transformV4.py:236-246)."""
+    rng = np.random.default_rng(1)
+    aug = TrainAugment(img_h=96, img_w=192, rng=rng, p_hflip=1.0,
+                       p_channel_shuffle=0, p_brightness=0, p_hue_sat=0,
+                       p_blur=0, p_affine=0)
+    img = np.zeros((200, 400, 3), np.uint8)
+    img[:, :40] = 255  # bright band on the LEFT
+    seg = np.zeros((200, 400), np.uint8)
+    seg[:, :40] = 3
+    flow = np.zeros((200, 400, 2), np.float32)
+    flow[:, :40, 0] = 0.5
+    lane = np.array([[30.0, 180.0], [35.0, 60.0]], np.float32)
+    out_img, lanes, ids, out_seg, out_flow = aug(
+        img, [lane], ids=[0], seg=seg, flow=flow)
+    assert out_seg.shape == (96, 192)
+    assert out_flow.shape == (96, 192, 2)
+    # hflip moved the band to the RIGHT in all three planes, and the lane
+    assert out_img[:, -10:].mean() > 200 and out_img[:, :10].mean() < 50
+    assert (out_seg[:, -10:] == 3).mean() > 0.9
+    assert out_flow[:, -10:, 0].mean() > 0.4
+    assert lanes[0][:, 0].mean() > 96
+
+
+def test_augment_affine_keeps_seg_aligned():
+    """Affine must move the seg mask exactly with the pixels."""
+    rng = np.random.default_rng(3)
+    aug = TrainAugment(img_h=96, img_w=192, rng=rng, p_hflip=0,
+                       p_channel_shuffle=0, p_brightness=0, p_hue_sat=0,
+                       p_blur=0, p_affine=1.0)
+    img = np.zeros((96, 192, 3), np.uint8)
+    img[40:60, 80:120] = 255
+    seg = np.zeros((96, 192), np.uint8)
+    seg[40:60, 80:120] = 1
+    out_img, _, out_seg = aug(img, [], seg=seg)
+    bright = out_img[..., 0] > 128
+    marked = out_seg == 1
+    inter = (bright & marked).sum()
+    union = (bright | marked).sum()
+    assert union > 0 and inter / union > 0.9
+
+
 @pytest.fixture
 def ol_tree(tmp_path):
     root = tmp_path / "dataset"
