@@ -239,3 +239,68 @@ def test_profiler_stage_breakdown():
 
     cs = cost_summary(lambda x: x @ x, jnp.ones((64, 64)))
     assert cs["flops"] > 0 and cs["roofline_ms"] > 0
+
+
+def test_xplane_parser_roundtrip(tmp_path):
+    """Hand-encode a tiny XSpace protobuf on the wire and check the
+    dependency-free parser recovers planes, op names, and durations."""
+    from phnet_tpu.utils.xplane import (
+        device_op_totals, find_xplane_files, op_report, parse_xspace,
+    )
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            if v:
+                out += bytes([b7 | 0x80])
+            else:
+                return out + bytes([b7])
+
+    def ld(fnum, payload):  # length-delimited field
+        return varint((fnum << 3) | 2) + varint(len(payload)) + payload
+
+    def vi(fnum, val):  # varint field
+        return varint(fnum << 3) + varint(val)
+
+    def event(mid, dur):
+        return ld(4, vi(1, mid) + vi(3, dur))  # XLine.events
+
+    def line(events):
+        return ld(3, vi(1, 1) + ld(2, b"XLA Ops") + b"".join(events))
+
+    def emeta(mid, name):
+        entry = vi(1, mid) + ld(2, vi(1, mid) + ld(2, name.encode()))
+        return ld(4, entry)  # XPlane.event_metadata map entry
+
+    def plane(name, lines, metas):
+        return ld(
+            1, vi(1, 7) + ld(2, name.encode()) + b"".join(lines) + b"".join(metas)
+        )
+
+    tpu = plane(
+        "/device:TPU:0",
+        [line([event(1, 5_000_000), event(2, 1_000_000), event(1, 2_500_000)])],
+        [emeta(1, "fusion.42"), emeta(2, "copy.7")],
+    )
+    host = plane("/host:CPU", [line([event(3, 9_000_000)])], [emeta(3, "python")])
+    space = tpu + host
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    (d / "h.xplane.pb").write_bytes(space)
+
+    files = find_xplane_files(str(tmp_path))
+    assert len(files) == 1
+    planes = parse_xspace(files[0])
+    assert [p.name for p in planes] == ["/device:TPU:0", "/host:CPU"]
+
+    rows = device_op_totals(planes)
+    assert rows[0] == ("fusion.42", 7_500_000, 2)
+    assert rows[1] == ("copy.7", 1_000_000, 1)
+    # host plane excluded
+    assert all(n != "python" for n, _, _ in rows)
+
+    report = op_report(str(tmp_path), top=5)
+    assert "fusion.42" in report and "TOTAL" in report
