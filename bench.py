@@ -35,6 +35,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from phnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from phnet_tpu.config import TrainConfig, vil100_config
     from phnet_tpu.models import PHNet
     from phnet_tpu.models.phnet import init_memory

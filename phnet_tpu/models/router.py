@@ -14,11 +14,14 @@ inference, exactly as the reference does.
 The router always sees stop-gradient features (``RouterV4.py:240``); its
 training signal comes only from the loss-blending term.
 
-TPU mapping: the residual block chain is bandwidth-bound (it re-streams the
-[A, C, P] volume dozens of times as separate fusions), so at inference it
-runs as one fused Pallas kernel (:mod:`phnet_tpu.ops.router_pallas`);
-training uses the mathematically identical XLA path (same parameters) so
-gradients need no hand-written backward.
+TPU mapping: the residual block chain is small bandwidth-bound VPU work.
+Per-op device profiling (see ``utils/xplane.py``) showed XLA's own fusion
+of the chain beats both hand-written Pallas layouts by ~2x (58us vs
+107-114us per call on v5e) — the 3x3's +-1 shifted accesses are the
+problem for Pallas (misaligned sublane RMWs / non-tile-multiple lane
+rolls), so the XLA path is the default for inference AND training; the
+Pallas kernel remains available behind ``use_pallas_kernel`` for A/B
+measurement (:mod:`phnet_tpu.ops.router_pallas`).
 """
 
 from __future__ import annotations
@@ -69,6 +72,14 @@ class AdaptiveRouter(nn.Module):
     reduction: int = 4
     blocks: int = 4
     dtype: jnp.dtype = jnp.float32  # MLP compute dtype
+    # Per-op device timing (xplane trace, v5e): XLA's own fusion of the
+    # residual chain runs ~58us/call; the hand-written Pallas kernels are
+    # 114us (lane-layout v1) / 107us (sublane-layout v2) -- the per-anchor
+    # depthwise 3x3's +-1 shifted accesses defeat both Pallas layouts
+    # (misaligned sublane RMWs resp. non-tile-multiple lane rolls), while
+    # XLA picks better shuffle sequences. Default is therefore the XLA
+    # path everywhere; the kernel stays available for A/B measurement.
+    use_pallas_kernel: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -88,7 +99,8 @@ class AdaptiveRouter(nn.Module):
             (2 + 4 * self.blocks, c, p))
 
         use_pallas = (
-            not train and self.blocks > 0 and jax.default_backend() == "tpu"
+            self.use_pallas_kernel and not train and self.blocks > 0
+            and jax.default_backend() == "tpu"
         )
         if use_pallas:
             run = lambda f: fused_router_blocks(  # noqa: E731

@@ -2,8 +2,7 @@
 
 The router's four residual blocks (per-anchor depthwise 3x3 conv ->
 LayerNorm[C,P] -> relu -> conv -> LayerNorm, + residual;
-``Router.py:53-81``) are tiny bandwidth-bound ops: as separate XLA fusions
-they re-stream the [A, C, P] feature volume dozens of times per frame.
+``Router.py:53-81``) are tiny bandwidth-bound ops.
 
 Kernel geometry: anchors ride the TPU *lane* dimension. The feature volume
 is laid out as [C*P, A] with 128-anchor lane blocks; the depthwise 3x3
@@ -13,10 +12,19 @@ masked by row iotas), and the per-anchor LayerNorm is a column reduction.
 The whole chain runs on two ping-pong scratch buffers — each anchor plane
 is read from HBM once and written once, with a small, fixed VMEM footprint.
 
-Forward-only by design: at inference the router picks the branch; in
-training its parameter gradients flow through the XLA reference path in
-:class:`phnet_tpu.models.router.AdaptiveRouter` (same parameters, same
-math — equivalence-tested).
+STATUS — measured slower than XLA, kept for A/B only. Per-op device
+timing on v5e (xplane trace, 240x64x36 geometry): this kernel 114us/call;
+an anchors-on-sublanes rewrite using lane rolls 107us; XLA's own fusion
+of the identical math 58us. The +-1-shift structure of the depthwise 3x3
+defeats both Pallas layouts (misaligned sublane RMWs resp.
+non-tile-multiple lane rolls that cross lane tiles), while XLA emits
+better shuffle sequences. :class:`phnet_tpu.models.router.AdaptiveRouter`
+therefore defaults to the XLA path (``use_pallas_kernel=False``); the
+equivalence test below keeps this kernel honest should the trade-off be
+revisited on new hardware/toolchains.
+
+Forward-only by design: gradients flow through the XLA reference path
+(same parameters, same math — equivalence-tested).
 """
 
 from __future__ import annotations

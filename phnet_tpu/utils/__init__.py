@@ -1,3 +1,4 @@
+from .cache import enable_persistent_cache
 from .logger import AverageMeter, TextLogger
 from .profiler import (
     checksum,
@@ -11,6 +12,7 @@ __all__ = [
     "AverageMeter",
     "TextLogger",
     "checksum",
+    "enable_persistent_cache",
     "cost_summary",
     "format_breakdown",
     "latency_profile",

@@ -294,6 +294,11 @@ def main(argv=None):
     with ctx:
         report = stage_breakdown(cfg, chunk=args.chunk, iters=args.iters)
     print(format_breakdown(report))
+    if args.trace:
+        from .xplane import op_report
+
+        print()
+        print(op_report(args.trace, top=30))
 
 
 if __name__ == "__main__":

@@ -13,6 +13,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    from phnet_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default="./dataset")
     ap.add_argument("--workdir", default="models/OpenLane")
