@@ -220,6 +220,13 @@ class ModelConfig:
     # each scanned frame are recomputed instead of stored, trading ~1 extra
     # forward for O(T) less HBM traffic through the temporal scan
     remat_frames: bool = True
+    # what the remat saves: "full" recomputes everything (max memory
+    # saving); "dots" saves MXU (matmul/conv) outputs and recomputes only
+    # the cheap elementwise chain. Measured on the 16-frame clip step the
+    # difference is ~1.5% (106.4 vs 107.9 ms) — the backward is dominated
+    # by per-frame param-grad accumulation, not recompute — so "dots" is
+    # the default for the small step-time edge at a modest memory cost
+    remat_policy: str = "dots"
 
     @property
     def n_offsets(self) -> int:

@@ -13,14 +13,14 @@ hot spot of the whole head and map straight onto the MXU.
 Weight-generator collapse: the reference's generators are two stacked
 ``nn.Linear`` layers with *no activation between them*
 (``dynamic_head.py:24-27`` — ``dynamic_layer_1/2`` are ``Sequential(Linear,
-Linear)``), i.e. an affine∘affine chain. Whenever the input is narrower
-than the generator bottleneck (the first generator: pro_dim=C=64 vs
-hid=1024 on the VIL preset) the pair is computed as a *single* matmul
-against the pre-combined matrix ``K_a @ K_b`` — the exact same function,
-~16x fewer per-anchor FLOPs, and the combine itself depends only on
-parameters so it is loop-invariant across the temporal frame scan. The
-second generator (input P*D=4608 > hid) and the out layer keep the
-factored form, which is cheaper there.
+Linear)``), i.e. an affine∘affine chain. Whenever the bottleneck is wide
+relative to the harmonic mean of the endpoint dims (hid >= in*out/(in+out))
+the pair is computed as a *single* matmul against the pre-combined matrix
+``K_a @ K_b`` — the exact same function with far fewer per-anchor FLOPs
+(16x for the first generator, 15x for the out layer on the VIL preset),
+and the combine itself depends only on parameters so it is loop-invariant
+across the temporal frame scan. The second generator (4608 -> 1024 ->
+8192) keeps the factored form, which is cheaper there.
 """
 
 from __future__ import annotations
@@ -60,14 +60,18 @@ class DynamicConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _affine_chain(self, x, pa, pb):
-        """x -> (x @ Ka + ba) @ Kb + bb, collapsed into one matmul when the
-        input is narrower than the bottleneck (per-anchor FLOPs:
-        direct in*out vs factored in*hid + hid*out; with out >> in the
-        crossover is hid ≈ in). The combine runs in f32 on parameters only
-        — loop-invariant, and exact up to float reassociation."""
+        """x -> (x @ Ka + ba) @ Kb + bb, collapsed into one matmul whenever
+        that is cheaper: direct costs in*out MACs/row, factored costs
+        in*hid + hid*out, so collapse wins iff hid >= in*out/(in+out).
+        On the VIL preset this collapses the first generator (64->1024->8192,
+        16x) and the out layer (2304->1024->64, 15x) while keeping the
+        second generator factored (4608->1024->8192). The combine runs in
+        f32 on parameters only — loop-invariant, and exact up to float
+        reassociation."""
         in_dim = x.shape[-1]
         hid = pa["kernel"].shape[1]
-        if hid >= in_dim:
+        out_dim = pb["kernel"].shape[1]
+        if hid * (in_dim + out_dim) >= in_dim * out_dim:
             w = pa["kernel"] @ pb["kernel"]
             b = pa["bias"] @ pb["kernel"] + pb["bias"]
             return x @ w.astype(self.dtype) + b.astype(self.dtype)

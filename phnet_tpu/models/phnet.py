@@ -397,8 +397,12 @@ class PHNet(nn.Module):
             # recompute each frame's activations in the backward instead of
             # storing T copies (the reference relies on torch autograd's
             # default full storage; remat is the TPU-native memory/time
-            # trade for a long temporal scan)
-            step_cls = nn.remat(_FrameStep, prevent_cse=False)
+            # trade for a long temporal scan). policy="dots" keeps the MXU
+            # results (matmuls/convs) and recomputes only elementwise work,
+            # cutting the recompute cost of the backward scan.
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if cfg.remat_policy == "dots" else None)
+            step_cls = nn.remat(_FrameStep, prevent_cse=False, policy=policy)
         scan = nn.scan(
             step_cls,
             variable_broadcast="params",
