@@ -1,0 +1,184 @@
+// Native clip loader: JPEG decode -> top crop -> bilinear resize ->
+// ImageNet normalize, OpenMP-parallel over the frames of a clip.
+//
+// TPU-native equivalent of the reference's data path, where torch's
+// DataLoader worker processes run cv2 decode per frame
+// (dataV3.py:154-176). Here one C call materialises a whole clip as the
+// float32 NHWC tensor the device consumes, without Python in the
+// per-frame loop. C ABI + ctypes (no pybind11 in this image).
+//
+// Resize follows cv2.INTER_LINEAR's geometry: src = (dst + 0.5)*scale - 0.5
+// with edge clamping (float arithmetic; cv2's 11-bit fixed point agrees to
+// ~1/2048 per sample).
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <cmath>
+#include <csetjmp>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+// Decode a JPEG file into an RGB (or grayscale) byte image. Returns true
+// on success; the buffer is resized to h*w*channels.
+bool decode_jpeg(const char* path, std::vector<unsigned char>& buf, int& w,
+                 int& h, int channels) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = channels == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  w = static_cast<int>(cinfo.output_width);
+  h = static_cast<int>(cinfo.output_height);
+  const int row_stride = w * channels;
+  buf.resize(static_cast<size_t>(h) * row_stride);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    unsigned char* row = buf.data() +
+        static_cast<size_t>(cinfo.output_scanline) * row_stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return true;
+}
+
+// Bilinear sample helpers (cv2 geometry).
+inline void lin_coef(int dst, double scale, int src_max, int& i0, int& i1,
+                     float& w1) {
+  double s = (dst + 0.5) * scale - 0.5;
+  if (s < 0) s = 0;
+  if (s > src_max) s = src_max;
+  i0 = static_cast<int>(s);
+  i1 = i0 + 1 > src_max ? src_max : i0 + 1;
+  w1 = static_cast<float>(s - i0);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n JPEG frames, crop cut_px rows off the top, resize to
+// (out_h, out_w), normalize (x/255 - mean)/std per channel, write float32
+// NHWC into out (n*out_h*out_w*3). Returns 0 on success, 1-based index of
+// the first failing frame otherwise.
+int decode_clip_rgb(const char** paths, int n, int cut_px, int out_h,
+                    int out_w, const float* mean, const float* std_,
+                    float* out) {
+  int failed = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    std::vector<unsigned char> img;
+    int w = 0, h = 0;
+    if (!decode_jpeg(paths[i], img, w, h, 3) || h <= cut_px) {
+#pragma omp critical
+      if (!failed || i + 1 < failed) failed = i + 1;
+      continue;
+    }
+    const unsigned char* src = img.data() +
+        static_cast<size_t>(cut_px) * w * 3;
+    const int src_h = h - cut_px;
+    const double sy = static_cast<double>(src_h) / out_h;
+    const double sx = static_cast<double>(w) / out_w;
+    float* dst = out + static_cast<size_t>(i) * out_h * out_w * 3;
+
+    std::vector<int> x0(out_w), x1(out_w);
+    std::vector<float> wx(out_w);
+    for (int x = 0; x < out_w; ++x) lin_coef(x, sx, w - 1, x0[x], x1[x], wx[x]);
+
+    const float inv255 = 1.0f / 255.0f;
+    float cmul[3], cadd[3];
+    for (int c = 0; c < 3; ++c) {
+      cmul[c] = inv255 / std_[c];
+      cadd[c] = -mean[c] / std_[c];
+    }
+
+    for (int y = 0; y < out_h; ++y) {
+      int y0, y1;
+      float wy;
+      lin_coef(y, sy, src_h - 1, y0, y1, wy);
+      const unsigned char* r0 = src + static_cast<size_t>(y0) * w * 3;
+      const unsigned char* r1 = src + static_cast<size_t>(y1) * w * 3;
+      float* drow = dst + static_cast<size_t>(y) * out_w * 3;
+      for (int x = 0; x < out_w; ++x) {
+        const int a = x0[x] * 3, b = x1[x] * 3;
+        const float fx = wx[x];
+        for (int c = 0; c < 3; ++c) {
+          const float top = r0[a + c] + fx * (r0[b + c] - r0[a + c]);
+          const float bot = r1[a + c] + fx * (r1[b + c] - r1[a + c]);
+          const float v = top + wy * (bot - top);
+          drow[x * 3 + c] = v * cmul[c] + cadd[c];
+        }
+      }
+    }
+  }
+  return failed;
+}
+
+// Decode n grayscale JPEGs (e.g. quantized flow planes), crop + resize,
+// raw byte values as float32 [n, out_h, out_w]. Same return convention.
+int decode_clip_gray(const char** paths, int n, int cut_px, int out_h,
+                     int out_w, float* out) {
+  int failed = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    std::vector<unsigned char> img;
+    int w = 0, h = 0;
+    if (!decode_jpeg(paths[i], img, w, h, 1) || h <= cut_px) {
+#pragma omp critical
+      if (!failed || i + 1 < failed) failed = i + 1;
+      continue;
+    }
+    const unsigned char* src = img.data() + static_cast<size_t>(cut_px) * w;
+    const int src_h = h - cut_px;
+    const double sy = static_cast<double>(src_h) / out_h;
+    const double sx = static_cast<double>(w) / out_w;
+    float* dst = out + static_cast<size_t>(i) * out_h * out_w;
+    for (int y = 0; y < out_h; ++y) {
+      int y0, y1;
+      float wy;
+      lin_coef(y, sy, src_h - 1, y0, y1, wy);
+      const unsigned char* r0 = src + static_cast<size_t>(y0) * w;
+      const unsigned char* r1 = src + static_cast<size_t>(y1) * w;
+      for (int x = 0; x < out_w; ++x) {
+        int a, b;
+        float fx;
+        lin_coef(x, sx, w - 1, a, b, fx);
+        const float top = r0[a] + fx * (r0[b] - r0[a]);
+        const float bot = r1[a] + fx * (r1[b] - r1[a]);
+        dst[static_cast<size_t>(y) * out_w + x] = top + wy * (bot - top);
+      }
+    }
+  }
+  return failed;
+}
+
+}  // extern "C"

@@ -63,6 +63,7 @@ class VIL100Dataset:
         load_seg: bool = False,
         load_flow: bool = False,
         seed: int = 3407,
+        native_decode: str = "auto",
     ):
         self.cfg = data_cfg
         self.spec = spec
@@ -84,6 +85,18 @@ class VIL100Dataset:
         self.load_flow = load_flow
         self.normalize = Normalize()
         self.rng = np.random.default_rng(seed)
+        # native C++ clip decoder (decode+crop+resize+normalize in one
+        # OpenMP call) for the non-augmented path; "auto" uses it when the
+        # .so builds, "never" forces the cv2 path, "always" raises if
+        # unavailable. Outputs match cv2 to ~1e-2 in normalized units
+        # (JPEG IDCT + resize rounding).
+        self.native_decode = False
+        if native_decode in ("auto", "always"):
+            from .native_loader import native_available
+
+            self.native_decode = native_available()
+            if native_decode == "always" and not self.native_decode:
+                raise RuntimeError("native clip loader unavailable")
 
     def __len__(self):
         return self.samples_per_video * len(self.videos)
@@ -120,10 +133,25 @@ class VIL100Dataset:
         ori_h, ori_w = first.shape[:2]
         cut = int(ori_h * self.cfg.cut_scale)
 
+        # batch-decode the whole clip natively when no augmentation will
+        # touch the pixels (test/eval path)
+        native_frames = None
+        use_aug = self.augment is not None and self.train
+        if self.native_decode and not use_aug:
+            from .native_loader import decode_clip
+
+            native_frames = decode_clip(
+                [os.path.join(self.imgdir, vid, n + ".jpg")
+                 for n in sample_frames],
+                cut, self.cfg.img_h, self.cfg.img_w)
+
         imgs, labels, points, segs, flows = [], [], [], [], []
-        for name in sample_frames:
-            img0 = cv2.imread(os.path.join(self.imgdir, vid, name + ".jpg"))
-            img0 = cv2.cvtColor(img0, cv2.COLOR_BGR2RGB)[cut:]
+        for fi, name in enumerate(sample_frames):
+            img0 = None
+            if native_frames is None:
+                img0 = cv2.imread(
+                    os.path.join(self.imgdir, vid, name + ".jpg"))
+                img0 = cv2.cvtColor(img0, cv2.COLOR_BGR2RGB)[cut:]
             with open(os.path.join(jsonfolder, name + ".jpg.json")) as f:
                 info = json.load(f)
             lanes0, lane_ids0 = [], []
@@ -178,8 +206,17 @@ class VIL100Dataset:
                         if attempt == 29:
                             raise
             else:
-                img, lanes = resize_with_lanes(
-                    img0, lanes0, self.cfg.img_h, self.cfg.img_w)
+                if native_frames is None:
+                    img, lanes = resize_with_lanes(
+                        img0, lanes0, self.cfg.img_h, self.cfg.img_w)
+                else:
+                    # frame already decoded+resized+normalized natively;
+                    # scale the lanes by the same geometry
+                    img = None
+                    sx = self.cfg.img_w / ori_w
+                    sy = self.cfg.img_h / (ori_h - cut)
+                    lanes = [l * np.array([sx, sy], np.float32)
+                             for l in lanes0]
                 lane_ids = lane_ids0
                 seg = None if seg0 is None else cv2.resize(
                     seg0, (self.cfg.img_w, self.cfg.img_h),
@@ -192,7 +229,8 @@ class VIL100Dataset:
                     lane_ids, self.spec, self.cfg.img_h, self.cfg.img_w,
                     self.cfg.max_lanes,
                 )
-            imgs.append(self.normalize(img))
+            imgs.append(self.normalize(img) if img is not None
+                        else native_frames[fi])
             labels.append(label)
             points.append(lanes)
             if seg is not None:

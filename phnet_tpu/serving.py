@@ -1,11 +1,12 @@
 """Multi-stream online serving wrapper.
 
 Production deployment runs many camera streams per chip. Single-stream
-streaming saturates at ~385 fps while batch=4 reaches ~610 fps aggregate on
-a v5e — so the server packs up to ``max_streams`` live videos into one
-batched jitted step and keeps a per-stream temporal memory slot (the
-fixed-shape ring buffer makes per-stream reset a pure masked write: no
-recompilation when streams attach/detach mid-flight).
+streaming saturates at ~628 fps while batch=4 reaches ~920 fps aggregate
+on a v5e (B=8: ~878 — B=4 is the knee) — so the server packs up to
+``max_streams`` live videos into one batched jitted step and keeps a
+per-stream temporal memory slot (the fixed-shape ring buffer makes
+per-stream reset a pure masked write: no recompilation when streams
+attach/detach mid-flight).
 
 The reference has no serving stack (SURVEY.md §2.8: inference = offline
 scripts); this is a TPU-native addition for the online use case the model

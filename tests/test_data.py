@@ -186,6 +186,62 @@ def test_vil_dataset_loads_seg_and_flow(vil_tree):
     assert interior[..., 1].mean() < 0
 
 
+def test_native_clip_loader(tmp_path):
+    """Native C++ decode+crop+resize+normalize matches the cv2 path
+    (skip when the toolchain can't build the .so)."""
+    from phnet_tpu.data import native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native clip loader unavailable")
+    from phnet_tpu.data.transforms import Normalize
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        img = cv2.GaussianBlur(
+            rng.integers(0, 255, (200, 400, 3), np.uint8), (5, 5), 2)
+        p = str(tmp_path / f"{i}.jpg")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    cut, h, w = 70, 96, 192
+    out = native_loader.decode_clip(paths, cut, h, w)
+    assert out.shape == (3, h, w, 3) and out.dtype == np.float32
+
+    norm = Normalize()
+    ref = []
+    for p in paths:
+        im = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)[cut:]
+        ref.append(norm(cv2.resize(im, (w, h))))
+    ref = np.stack(ref)
+    # JPEG IDCT + resize rounding differ slightly between decoders
+    assert np.abs(out - ref).mean() < 0.02
+    assert np.abs(out - ref).max() < 0.2
+
+    gray = native_loader.decode_clip_gray(paths, 0, 50, 100)
+    assert gray.shape == (3, 50, 100)
+
+    with pytest.raises(IOError):
+        native_loader.decode_clip([str(tmp_path / "missing.jpg")], 0, 8, 8)
+
+
+def test_vil_dataset_native_decode(vil_tree):
+    """Reader's native fast path produces the same labels and near-equal
+    frames as the cv2 path on the test split."""
+    from phnet_tpu.data import native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native clip loader unavailable")
+    root, _ = vil_tree
+    cfg = DataConfig(root=root, img_h=96, img_w=192, cut_scale=0.35,
+                     max_lanes=8)
+    spec = LaneSpec(36, 2)
+    ds_cv = VIL100Dataset(cfg, spec, train=False, native_decode="never")
+    ds_nat = VIL100Dataset(cfg, spec, train=False, native_decode="always")
+    a, b = ds_cv[0], ds_nat[0]
+    np.testing.assert_array_equal(a["labels"], b["labels"])
+    assert np.abs(a["frames"] - b["frames"]).mean() < 0.02
+
+
 def test_clip_interpolates_border_crossings():
     """imgaug clip_out_of_image_ keeps the in-image part of a segment that
     crosses the border, with the crossing point ON the border — not just
