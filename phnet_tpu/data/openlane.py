@@ -41,6 +41,7 @@ class OpenLaneDataset:
         samples_per_video: int = 1,
         augment: Optional[TrainAugment] = None,
         seed: int = 3407,
+        native_decode: str = "auto",
     ):
         self.cfg = data_cfg
         self.spec = spec
@@ -58,6 +59,15 @@ class OpenLaneDataset:
         self.augment = augment
         self.normalize = Normalize()
         self.rng = np.random.default_rng(seed)
+        # native C++ clip decoder for the eval path (no flip/augment there;
+        # see data/native_loader.py)
+        self.native_decode = False
+        if native_decode in ("auto", "always"):
+            from .native_loader import native_available
+
+            self.native_decode = native_available()
+            if native_decode == "always" and not self.native_decode:
+                raise RuntimeError("native clip loader unavailable")
 
     def __len__(self):
         return self.samples_per_video * len(self.videos)
@@ -95,13 +105,34 @@ class OpenLaneDataset:
             sample_frames = sample_frames[::-1]
 
         crop = self.cfg.crop_size
+
+        # batch-decode natively when nothing stochastic touches the pixels
+        # (eval path: no flip/reverse/augment)
+        native_frames = None
+        use_aug = (self.augment is not None and self.train) or flip
+        if self.native_decode and not use_aug:
+            from .native_loader import decode_clip
+
+            probe = cv2.imread(
+                os.path.join(self.img_root, vid, sample_frames[0] + ".jpg"))
+            nat_h, nat_w = probe.shape[:2]
+            native_frames = decode_clip(
+                [os.path.join(self.img_root, vid, n + ".jpg")
+                 for n in sample_frames],
+                crop, self.cfg.img_h, self.cfg.img_w)
+
         imgs, labels, points = [], [], []
         ori_h = ori_w = None
-        for name in sample_frames:
-            img = cv2.imread(os.path.join(self.img_root, vid, name + ".jpg"))
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            ori_h, ori_w = img.shape[:2]
-            img = img[crop:]
+        for fi, name in enumerate(sample_frames):
+            if native_frames is None:
+                img = cv2.imread(
+                    os.path.join(self.img_root, vid, name + ".jpg"))
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                ori_h, ori_w = img.shape[:2]
+                img = img[crop:]
+            else:
+                img = None
+                ori_h, ori_w = nat_h, nat_w
             with open(os.path.join(label_dir, name + ".pickle"), "rb") as f:
                 anno = pickle.load(f)
             lanes = []
@@ -119,15 +150,20 @@ class OpenLaneDataset:
                 img = img[:, ::-1].copy()
             if self.augment is not None and self.train:
                 img, lanes = self.augment(img, lanes)
-            else:
+            elif native_frames is None:
                 img, lanes = resize_with_lanes(
                     img, lanes, self.cfg.img_h, self.cfg.img_w)
+            else:
+                sx = self.cfg.img_w / ori_w
+                sy = self.cfg.img_h / (ori_h - crop)
+                lanes = [l * np.array([sx, sy], np.float32) for l in lanes]
             label = encode_lane_label(
                 [list(map(tuple, p[np.argsort(-p[:, 1])])) for p in lanes],
                 list(range(len(lanes))),
                 self.spec, self.cfg.img_h, self.cfg.img_w, self.cfg.max_lanes,
             )
-            imgs.append(self.normalize(img))
+            imgs.append(self.normalize(img) if img is not None
+                        else native_frames[fi])
             labels.append(label)
             points.append(lanes)
 

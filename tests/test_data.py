@@ -354,6 +354,21 @@ def test_openlane_dataset_reader(ol_tree):
     assert clip_v["frames"].shape[0] == 3  # whole video
 
 
+def test_openlane_dataset_native_decode(ol_tree):
+    from phnet_tpu.data import native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native clip loader unavailable")
+    root, _ = ol_tree
+    cfg = DataConfig(root=root, img_h=96, img_w=192, crop_size=480, max_lanes=4)
+    spec = LaneSpec(n_offsets=24, n_lengths=1)
+    a = OpenLaneDataset(cfg, spec, train=False, native_decode="never")[0]
+    b = OpenLaneDataset(cfg, spec, train=False, native_decode="always")[0]
+    np.testing.assert_array_equal(a["labels"], b["labels"])
+    assert a["size"] == b["size"] and a["crop"] == b["crop"]
+    assert np.abs(a["frames"] - b["frames"]).mean() < 0.02
+
+
 def test_clip_loader_sharding(vil_tree):
     root, _ = vil_tree
     cfg = DataConfig(root=root, img_h=96, img_w=192, cut_scale=0.35, max_lanes=8)
