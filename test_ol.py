@@ -21,6 +21,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default="./dataset")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--torch-checkpoint", default=None,
+                    help="reference RouterWithB .pth(.tar) checkpoint to "
+                         "import (torch required to unpickle)")
     ap.add_argument("--pred-dir", default="evaluation/txt4OL/pred_txt")
     ap.add_argument("--anno-dir", default=None)
     ap.add_argument("--chunk", type=int, default=16)
@@ -80,7 +83,18 @@ def main():
     frames0 = jnp.asarray(clip0["frames"])[None, :2]
     variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames0)
-    if args.checkpoint:
+    if args.torch_checkpoint:
+        import torch
+
+        from phnet_tpu.utils.torch_import import load_reference_checkpoint
+
+        ckpt = torch.load(args.torch_checkpoint, map_location="cpu",
+                          weights_only=False)
+        sd = ckpt.get("state_dict", ckpt)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        variables = load_reference_checkpoint(variables, sd)
+        print(f"imported reference checkpoint {args.torch_checkpoint}")
+    elif args.checkpoint:
         from phnet_tpu.train import build_optimizer, create_train_state
         from phnet_tpu.train.checkpoint import CheckpointManager
 

@@ -501,3 +501,56 @@ def test_head_forward_parity(ref, ref_models, with_memory):
             np.asarray(outs.pred_sec[s]),
             out["predictions_sec"][s].numpy(),
             rtol=rtol, atol=atol, err_msg=f"pred_sec stage {s}")
+
+
+# ---------------------------------------------------------------------------
+# Reference-checkpoint import: the inverse of _export_head_weights. A
+# RouterWithB .pth.tar state_dict loads into our PHNet variables.
+# ---------------------------------------------------------------------------
+def test_reference_checkpoint_import(ref):
+    """Export our head params to the reference's state_dict format, wrap
+    them as a full RouterWithB checkpoint (DDP 'module.' + {'state_dict'}),
+    import back, and require exact recovery of every head param."""
+    torch = ref.torch
+    from phnet_tpu.models.head import LaneHead
+    from phnet_tpu.utils.torch_import import load_reference_checkpoint
+
+    cfg = _our_head_cfg()
+    head = LaneHead(cfg)
+    rng = np.random.default_rng(1)
+    b, c = 1, HP["prior_feat_channels"]
+    feats = tuple(
+        jnp.array(rng.normal(size=(b, hh, ww, c)), jnp.float32)
+        for hh, ww in [(48, 96), (24, 48), (12, 24)]
+    )
+    mem_vals = jnp.zeros((b, HP["refine_layers"], 1, 2 * HP["fc_hidden_dim"]))
+    mem_mask = jnp.zeros((b, 1), bool)
+    variables = head.init(jax.random.key(3), feats, mem_vals, mem_mask,
+                          train=False)
+
+    sd = _export_head_weights(torch, variables["params"])
+    ckpt = {"state_dict": {
+        "module.detNet." + k: v.numpy() for k, v in sd.items()}}
+
+    # fresh (different) init to prove the load overwrites everything
+    fresh = head.init(jax.random.key(9), feats, mem_vals, mem_mask,
+                      train=False)
+    shell = {"params": {"frame": {"head": fresh["params"]}},
+             "batch_stats": {}}
+    loaded = load_reference_checkpoint(shell, ckpt)
+
+    got = loaded["params"]["frame"]["head"]
+    want = variables["params"]
+    flat_g = jax.tree_util.tree_leaves_with_path(got)
+    flat_w = dict(jax.tree_util.tree_leaves_with_path(want))
+    assert len(flat_g) == len(flat_w)
+    for path, leaf in flat_g:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_w[path]),
+            err_msg=str(path))
+
+    # imported params drive the head to the same outputs
+    o1 = head.apply(variables, feats, mem_vals, mem_mask, train=False)
+    o2 = head.apply({"params": got}, feats, mem_vals, mem_mask, train=False)
+    np.testing.assert_allclose(np.asarray(o1.pred_fir),
+                               np.asarray(o2.pred_fir), atol=1e-6)
