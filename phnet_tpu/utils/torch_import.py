@@ -140,27 +140,35 @@ def strip_prefixes(state_dict: Dict) -> Dict:
 def import_head_state_dict(sd: Dict, refine_layers: int = 3,
                            router_blocks: int = 4,
                            decoder_layers: int = 2) -> Dict:
-    """Reference ``RouterV2`` head keys (no prefix) -> our ``LaneHead``
-    params subtree (``frame/head``)."""
+    """Reference head keys (no prefix) -> our ``LaneHead`` params subtree
+    (``frame/head``). Handles both the VIL ``RouterV2`` layout (cls+reg
+    stacks, folded offsets) and the OL ``DetNetV2`` layout (separate
+    iou_modules/iou_layers offsets head, learned position embedding)."""
     params: Dict = {
         "prior_embeddings": np.asarray(sd["prior_embeddings.weight"]),
         "pro_embedding": np.asarray(sd["pro_embedding.weight"]),
     }
+    has_iou = any(k.startswith("iou_modules.") for k in sd)
+    if "PositionEmbedding.embed.weight" in sd:
+        params["pos_encoding"] = {
+            "embedding": np.asarray(sd["PositionEmbedding.embed.weight"])}
 
-    # merged branch heads: index 0 = cls stack, 1 = reg stack
+    # merged branch heads: stack order (cls, reg[, iou]) matches
+    # MergedBranchHeads' out_dims ordering
+    stacks = ("cls", "reg", "iou") if has_iou else ("cls", "reg")
     for branch, suffix in (("heads_fir", ""), ("heads_sec", "_sec")):
         hp: Dict = {}
         for i in range(2):
-            ck = np.asarray(sd[f"cls_modules{suffix}.{2 * i}.weight"]).T
-            rk = np.asarray(sd[f"reg_modules{suffix}.{2 * i}.weight"]).T
-            hp[f"fc{i}_kernel"] = np.stack([ck, rk])
+            hp[f"fc{i}_kernel"] = np.stack([
+                np.asarray(sd[f"{m}_modules{suffix}.{2 * i}.weight"]).T
+                for m in stacks])
             hp[f"fc{i}_bias"] = np.stack([
-                np.asarray(sd[f"cls_modules{suffix}.{2 * i}.bias"]),
-                np.asarray(sd[f"reg_modules{suffix}.{2 * i}.bias"])])
-        hp["out0_kernel"] = np.asarray(sd[f"cls_layers{suffix}.weight"]).T
-        hp["out0_bias"] = np.asarray(sd[f"cls_layers{suffix}.bias"])
-        hp["out1_kernel"] = np.asarray(sd[f"reg_layers{suffix}.weight"]).T
-        hp["out1_bias"] = np.asarray(sd[f"reg_layers{suffix}.bias"])
+                np.asarray(sd[f"{m}_modules{suffix}.{2 * i}.bias"])
+                for m in stacks])
+        for j, m in enumerate(stacks):
+            hp[f"out{j}_kernel"] = np.asarray(
+                sd[f"{m}_layers{suffix}.weight"]).T
+            hp[f"out{j}_bias"] = np.asarray(sd[f"{m}_layers{suffix}.bias"])
         params[branch] = hp
 
     # dynamic heads

@@ -554,3 +554,115 @@ def test_reference_checkpoint_import(ref):
     o2 = head.apply({"params": got}, feats, mem_vals, mem_mask, train=False)
     np.testing.assert_allclose(np.asarray(o1.pred_fir),
                                np.asarray(o2.pred_fir), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# OL head: import the reference DetNetV2's state_dict (torch init) into our
+# OL-preset LaneHead and require forward parity — validates the OL layout
+# of import_head_state_dict (iou stacks, learned position embedding).
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ref_ol_models(ref):
+    _stub("timm")
+    _stub("timm.models")
+    _stub("timm.models.layers", trunc_normal_=lambda *a, **k: None,
+          DropPath=object)
+    _stub("mmcv.cnn", ConvModule=object)
+    _stub("libs.ops", nms=types.SimpleNamespace(nms=None))
+    _stub("libs.ops.nms", nms=None)
+    _stub("libs.models.SeqFormer.util")
+    _stub("libs.models.SeqFormer.util.misc", NestedTensor=object)
+    from libs.models import Router4OL
+
+    return Router4OL
+
+
+@pytest.mark.parametrize("with_memory", [False, True])
+def test_ol_head_import_forward_parity(ref, ref_ol_models, with_memory):
+    torch = ref.torch
+    from phnet_tpu.config import (
+        BackboneConfig, HeadConfig, LaneSpec, MemoryConfig, ModelConfig,
+        NeckConfig, TestParams,
+    )
+    from phnet_tpu.models.head import LaneHead
+    from phnet_tpu.utils.torch_import import import_head_state_dict
+
+    cfg = ModelConfig(
+        img_h=IMG_H, img_w=IMG_W,
+        lane=LaneSpec(n_offsets=N_OFFSETS, n_lengths=1),
+        backbone=BackboneConfig(), neck=NeckConfig(),
+        head=HeadConfig(
+            num_priors=HP["num_priors"], sample_points=HP["sample_points"],
+            fc_hidden_dim=HP["fc_hidden_dim"],
+            prior_feat_channels=HP["prior_feat_channels"],
+            refine_layers=HP["refine_layers"], num_fc=2,
+            decoder_layers=2, decoder_heads=8, decoder_ffn_dim=256,
+            decoder_dropout=0.1, pos_encoding="learned",
+            separate_offset_head=True,
+        ),
+        memory=MemoryConfig(window=5, slots_per_frame=5),
+        test=TestParams(), max_lanes=4, routing="soft",
+    )
+    head = LaneHead(cfg)
+
+    ref_cfg = types.SimpleNamespace(
+        img_w=IMG_W, img_h=IMG_H, num_points=N_OFFSETS,
+        num_priors=HP["num_priors"])
+    det = ref_ol_models.DetNetV2(
+        prior_feat_channels=HP["prior_feat_channels"],
+        fc_hidden_dim=HP["fc_hidden_dim"], num_fc=2,
+        refine_layers=HP["refine_layers"],
+        sample_points=HP["sample_points"], cfg=ref_cfg)
+    det.eval()
+    sd = {k: v.numpy() for k, v in det.state_dict().items()}
+
+    rng = np.random.default_rng(5)
+    b, c = 1, HP["prior_feat_channels"]
+    sizes = [(48, 96), (24, 48), (12, 24)]
+    feats = tuple(
+        jnp.array(rng.normal(size=(b, hh, ww, c)), jnp.float32)
+        for hh, ww in sizes
+    )
+    m = 6
+    mem_np = rng.normal(size=(HP["refine_layers"], m,
+                              2 * HP["fc_hidden_dim"])).astype(np.float32)
+    if with_memory:
+        mem_vals = jnp.array(mem_np)[None]
+        mem_mask = jnp.ones((b, m), bool)
+        last_cuts = [[torch.tensor(mem_np[s][:, None, :])
+                      for s in range(HP["refine_layers"])]]
+    else:
+        mem_vals = jnp.zeros((b, HP["refine_layers"], 1,
+                              2 * HP["fc_hidden_dim"]))
+        mem_mask = jnp.zeros((b, 1), bool)
+        last_cuts = []
+
+    variables = head.init(jax.random.key(0), feats, mem_vals, mem_mask,
+                          train=False)
+    params = import_head_state_dict(sd)
+    # tree structure must match exactly (no missing / extra params)
+    want = jax.tree_util.tree_structure(variables["params"])
+    got = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(np.asarray, params))
+    assert want == got, f"param tree mismatch:\n{want}\nvs\n{got}"
+    outs = head.apply({"params": params}, feats, mem_vals, mem_mask,
+                      train=False)
+
+    t_feats = [torch.tensor(np.asarray(f).transpose(0, 3, 1, 2))
+               for f in feats]
+    with torch.no_grad():
+        out, attn_list, diff_list = det(t_feats, last_cuts=last_cuts)
+
+    rtol, atol = (2e-3, 2e-3) if with_memory else (2e-4, 5e-4)
+    for s in range(HP["refine_layers"]):
+        np.testing.assert_allclose(
+            np.asarray(outs.diff[s]), diff_list[s].squeeze(-1).numpy(),
+            rtol=rtol, atol=atol, err_msg=f"diff stage {s}")
+        np.testing.assert_allclose(
+            np.asarray(outs.pred_fir[s]),
+            out["predictions_fir"][s].numpy(),
+            rtol=rtol, atol=atol, err_msg=f"pred_fir stage {s}")
+        np.testing.assert_allclose(
+            np.asarray(outs.pred_sec[s]),
+            out["predictions_sec"][s].numpy(),
+            rtol=rtol, atol=atol, err_msg=f"pred_sec stage {s}")
