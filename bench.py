@@ -1,9 +1,9 @@
 """Benchmark: streaming VIL-100 inference + training economics on one chip.
 
 Mirrors the reference timing protocol (``testVIL.py:99-130``: whole
-100-frame video through the model, fps = T / wall). The video streams in
-25-frame chunks with the temporal memory carried across chunks (identical
-semantics, one compile of the chunk graph). Additionally measured:
+100-frame video through the model in ONE call, fps = T / wall — chunked
+streaming with carried memory is available in test_vil.py but the bench
+uses the reference's whole-video protocol). Additionally measured:
 
 * p50/p99 per-frame latency: a chunk=1 graph driven frame by frame with a
   host sync per frame — the serving-latency number (BASELINE.md names p50
@@ -49,7 +49,7 @@ def main():
     model = PHNet(cfg)
 
     video_frames = 100  # VIL-100 clip length
-    chunk = 25
+    chunk = 100  # whole video per call, as testVIL.py does
     n_videos = 5
 
     rng = np.random.default_rng(0)
