@@ -152,6 +152,43 @@ def main():
     except Exception:
         pass
 
+    # ---- OpenLane preset throughput (testOLV3 protocol: 16-frame chunks,
+    # 72 offsets, window-5 memory, soft routing) -------------------------
+    ol_fps = None
+    try:
+        from phnet_tpu.config import openlane_config
+
+        ol_cfg = dataclasses.replace(
+            openlane_config().model, compute_dtype="bfloat16", scan_unroll=4)
+        ol_model = PHNet(ol_cfg)
+        ol_chunk = 16
+        ol_frames = jnp.asarray(rng.normal(
+            size=(1, ol_chunk, ol_cfg.img_h, ol_cfg.img_w, 3)
+        ).astype(np.float32))
+        ol_vars = jax.jit(
+            lambda r, f: ol_model.init(r, f, None, train=False))(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            ol_frames)
+
+        def ol_chunk_fn(variables, frames, mem):
+            outs, mem = ol_model.apply(variables, frames, None, train=False,
+                                       initial_memory=mem)
+            return outs.kept, outs.num_kept, mem
+
+        ol_chunk_fn = jax.jit(ol_chunk_fn)
+        ol_mem0 = init_memory(ol_cfg, 1, ol_cfg.memory.window)
+        kept, nk, mem = ol_chunk_fn(ol_vars, ol_frames, ol_mem0)
+        np.array(nk)
+        t0 = time.time()
+        n_chunks = 12
+        for _ in range(n_chunks):
+            mem = init_memory(ol_cfg, 1, ol_cfg.memory.window)
+            kept, nk, mem = ol_chunk_fn(ol_vars, ol_frames, mem)
+        np.array(nk)
+        ol_fps = ol_chunk * n_chunks / (time.time() - t0)
+    except Exception:
+        pass
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_TORCH_CPU.json")
     vs = None
@@ -177,6 +214,7 @@ def main():
         "mfu_pct": round(mfu * 100, 2) if mfu is not None else None,
         "train_fps_16frame_clip": (round(train_fps, 2)
                                    if train_fps is not None else None),
+        "openlane_fps": round(ol_fps, 2) if ol_fps is not None else None,
     }))
 
 
