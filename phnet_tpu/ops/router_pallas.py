@@ -63,6 +63,47 @@ def _conv3x3(x, taps, bias):
     return y + bias[:, None, None]
 
 
+def banded_taps(taps, p: int):
+    """Pack 3x3 taps into per-anchor banded matmul weights.
+
+    taps: [T, 9] (offset order dc-major: k = 3*(dc+1) + (dp+1)).
+    Returns W [T, 3, P, P] with ``W[t, dc, q, r] = taps[t, 3*dc + (q-r+1)]``
+    for |q-r| <= 1, so the depthwise conv becomes
+    ``y = einsum('tkcq,tkqr->tcr', stack_of_C_shifted_x, W)``.
+    Depends only on parameters — loop-invariant across the frame scan.
+
+    STATUS — measured SLOWER than the 9-tap formulation and kept only as a
+    documented negative result: the per-anchor [64,36]@[36,36] matmuls use
+    ~8% of an MXU tile, giving ~375us/chain on v5e vs 58us for
+    :func:`_conv3x3`'s shifted-tap fusions. Equivalence-tested (exact when
+    the contraction runs at HIGHEST precision)."""
+    sup = jnp.eye(p, k=1)   # q - r = -1  (dp = -1)
+    mid = jnp.eye(p)        # dp = 0
+    sub = jnp.eye(p, k=-1)  # dp = +1
+    bands = jnp.stack([sup, mid, sub])  # [3(dp), P, P]
+    t9 = taps.reshape(taps.shape[0], 3, 3)  # [T, dc, dp]
+    # elementwise broadcast-sum, NOT an einsum: the taps are parameters and
+    # must not be rounded by a reduced matmul precision
+    return (t9[:, :, :, None, None] * bands[None, None]).sum(axis=2)
+
+
+def _conv3x3_banded(x, w_banded, bias):
+    """Same math as :func:`_conv3x3` but as one MXU contraction.
+
+    x: [T, C, P]; w_banded: [T, 3, P, P] from :func:`banded_taps`;
+    bias: [T]. The nine shifted-tap accumulations (many small VPU fusions)
+    become a single batched einsum against the precomputed tridiagonal
+    weights; only the three C-shifts remain elementwise."""
+    t, c, p = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    xs = jnp.stack([xp[:, :c], xp[:, 1:c + 1], xp[:, 2:]], 1)  # [T,3(dc),C,P]
+    # HIGHEST precision (bf16x3 on the MXU) — the original formulation is
+    # pure-f32 elementwise work, so the contraction must not drop to bf16
+    y = jnp.einsum("tkcq,tkqr->tcr", xs, w_banded,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y + bias[:, None, None]
+
+
 # --- Pallas kernel ---------------------------------------------------------
 def _router_blocks_kernel(x_ref, taps_ref, bias_ref, lnp_ref, out_ref,
                           xs_ref, ys_ref, *, blocks: int, c: int, p: int):

@@ -67,3 +67,22 @@ def test_router_gradients_flow():
     g = jax.grad(loss)(v["params"])
     norms = [float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)]
     assert sum(norms) > 0
+
+
+def test_banded_conv_matches_shifted_taps():
+    """banded_taps/_conv3x3_banded == _conv3x3 (the kept-as-negative-result
+    MXU formulation must stay numerically honest)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from phnet_tpu.ops.router_pallas import (
+        _conv3x3, _conv3x3_banded, banded_taps,
+    )
+
+    rng = np.random.default_rng(0)
+    t, c, p = 6, 5, 7
+    x = jnp.asarray(rng.normal(size=(t, c, p)).astype(np.float32))
+    taps = jnp.asarray(rng.normal(size=(t, 9)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(t,)).astype(np.float32))
+    a = _conv3x3(x, taps, bias)
+    b = _conv3x3_banded(x, banded_taps(taps, p), bias)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
