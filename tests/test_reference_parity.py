@@ -666,3 +666,23 @@ def test_ol_head_import_forward_parity(ref, ref_ol_models, with_memory):
             np.asarray(outs.pred_sec[s]),
             out["predictions_sec"][s].numpy(),
             rtol=rtol, atol=atol, err_msg=f"pred_sec stage {s}")
+
+
+def test_reference_router4olv2_constructor_defect(ref, ref_ol_models):
+    """Document a reference defect: ``Router4OLV2.RouterV2`` (the model
+    behind testOLV3.py/trainOLV3.py) passes ``num_priors``/``out_channels``
+    kwargs to ``AdaptiveRouter4LaneV2`` (Router4OLV2.py:120-124) whose
+    ``__init__`` accepts neither (Router.py:84) — the multiscale variant
+    cannot be constructed as shipped. Our ``models/head_ms.py`` implements
+    the evident intent (per-stage Conv1d reduction + linear scorer). This
+    test pins the defect so the divergence stays documented."""
+    torch = ref.torch
+    del torch
+    from libs.models import Router4OLV2
+
+    ref_cfg = types.SimpleNamespace(
+        img_w=IMG_W, img_h=IMG_H, num_points=N_OFFSETS, num_priors=32)
+    with pytest.raises(TypeError, match="num_priors|out_channels|unexpected"):
+        Router4OLV2.RouterV2(
+            prior_feat_channels=[16, 8, 4], reg_hidden_dim=32, num_fc=2,
+            refine_layers=3, sample_points=[12, 24, 48], cfg=ref_cfg)
