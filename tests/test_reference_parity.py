@@ -686,3 +686,51 @@ def test_reference_router4olv2_constructor_defect(ref, ref_ol_models):
         Router4OLV2.RouterV2(
             prior_feat_channels=[16, 8, 4], reg_hidden_dim=32, num_fc=2,
             refine_layers=3, sample_points=[12, 24, 48], cfg=ref_cfg)
+
+
+def test_dynamic_conv_v2_forward_parity(ref):
+    """Our DynamicConv in V2 mode == the reference DynamicConvV2
+    (dynamic_head.py:61) with its torch-initialized weights imported."""
+    torch = ref.torch
+    import importlib
+
+    dynamic_head = importlib.import_module("libs.models.utils.dynamic_head")
+    from phnet_tpu.models.dynamic_conv import DynamicConv
+    from phnet_tpu.utils.torch_import import _lin, _ln
+
+    P, C, OUT = 12, 16, 64
+    tmod = dynamic_head.DynamicConvV2(
+        feat_size=P, inplanes=C, outplanes=OUT, early_return=False).eval()
+    sd = {k: v.numpy() for k, v in tmod.state_dict().items()}
+
+    ours = DynamicConv(feat_size=P, hidden_dim=C, param_reduction=4,
+                       out_dim=OUT, out_hidden=2 * OUT)
+    params = {}
+    for our, theirs in (("gen1_a", "dynamic_layer_1.0"),
+                        ("gen1_b", "dynamic_layer_1.1"),
+                        ("gen2_a", "dynamic_layer_2.0"),
+                        ("gen2_b", "dynamic_layer_2.1"),
+                        ("out_a", "out_layer.0"),
+                        ("out_b", "out_layer.1")):
+        params[our] = _lin(sd, theirs)
+    for n in ("norm1", "norm2", "norm3"):
+        params[n] = _ln(sd, n)
+
+    rng = np.random.default_rng(11)
+    b, a = 2, 5
+    pro = rng.normal(size=(b, a, OUT)).astype(np.float32)
+    roi = rng.normal(size=(b, a, P, C)).astype(np.float32)
+
+    # shape sanity: the import must line up with a fresh init's tree
+    fresh = ours.init(jax.random.key(0), jnp.array(pro), jnp.array(roi))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(fresh["params"]):
+        got = params
+        for k in path:
+            got = got[k.key]
+        assert np.asarray(got).shape == leaf.shape, path
+
+    out_ours = ours.apply({"params": params}, jnp.array(pro), jnp.array(roi))
+    with torch.no_grad():
+        out_ref = tmod(torch.tensor(pro), torch.tensor(roi))
+    np.testing.assert_allclose(
+        np.asarray(out_ours), out_ref.numpy(), rtol=2e-4, atol=5e-4)
