@@ -165,11 +165,13 @@ class LaneCriterion:
 
     # ------------------------------------------------------------------
     def frame_loss(self, pred_fir, pred_sec, diff, label,
-                   matched_sec=None) -> Tuple[jnp.ndarray, Dict]:
+                   matched_sec=None, matched_fir=None
+                   ) -> Tuple[jnp.ndarray, Dict]:
         """Loss of one frame. pred_*: [S, A, dim]; diff: [S, A]; label [L, dim];
-        matched_sec: optional [S, L] precomputed second-branch assignment."""
+        matched_sec/matched_fir: optional [S, L] precomputed assignments (the
+        model's scan solves both branches in one batched JV call)."""
         valid = label[:, 1] == 1.0
-        a_out = self._branch_loss(pred_fir, label, valid)
+        a_out = self._branch_loss(pred_fir, label, valid, matched_fir)
         b_out = self._branch_loss(pred_sec, label, valid, matched_sec)
         diff_frame = diff.mean(axis=0)  # [A]
 
@@ -209,21 +211,29 @@ class LaneCriterion:
         """
         labels_t = labels.swapaxes(0, 1)  # [T, B, L, dim]
         matched_sec = getattr(outs, "matched_sec", None)  # [T, S, B, L]
-
-        def per_frame(pf, ps, df, lab, ms):
-            # pf/ps: [S, B, A, dim]; df: [S, B, A]; lab: [B, L, dim]
-            return jax.vmap(self.frame_loss, in_axes=(1, 1, 1, 0, 1))(
-                pf, ps, df, lab, ms)
+        matched_fir = getattr(outs, "matched_fir", None)  # [T, S, B, L]
 
         if matched_sec is None:
-            def per_frame(pf, ps, df, lab):  # noqa: F811
+            def per_frame(pf, ps, df, lab):
                 return jax.vmap(self.frame_loss, in_axes=(1, 1, 1, 0))(
                     pf, ps, df, lab)
             losses, metrics = jax.vmap(per_frame)(
                 outs.pred_fir, outs.pred_sec, outs.diff, labels_t)
-        else:
+        elif matched_fir is None:
+            def per_frame(pf, ps, df, lab, ms):
+                # pf/ps: [S, B, A, dim]; df: [S, B, A]; lab: [B, L, dim]
+                return jax.vmap(self.frame_loss, in_axes=(1, 1, 1, 0, 1))(
+                    pf, ps, df, lab, ms)
             losses, metrics = jax.vmap(per_frame)(
                 outs.pred_fir, outs.pred_sec, outs.diff, labels_t, matched_sec
+            )
+        else:
+            def per_frame(pf, ps, df, lab, ms, mf):
+                return jax.vmap(self.frame_loss, in_axes=(1, 1, 1, 0, 1, 1))(
+                    pf, ps, df, lab, ms, mf)
+            losses, metrics = jax.vmap(per_frame)(
+                outs.pred_fir, outs.pred_sec, outs.diff, labels_t,
+                matched_sec, matched_fir,
             )
         total = losses.mean()
         metrics = {k: v.mean() for k, v in metrics.items()}

@@ -59,6 +59,13 @@ class TrainFrameOut(NamedTuple):
     #                           with the memory write so the criterion never
     #                           re-solves it (reference: criterion computes
     #                           once and feeds saveMemory, RouterV4.py:495-507)
+    matched_fir: jnp.ndarray = None  # [S, B, L] first-branch assignment —
+    #                           solved in the SAME batched JV call as
+    #                           matched_sec (both branches stacked on the
+    #                           vmapped axis), so the criterion performs no
+    #                           Hungarian solves at all. Optional: a None
+    #                           keeps the criterion's own solve path alive
+    #                           for direct/parity callers.
 
 
 class InferFrameOut(NamedTuple):
@@ -182,10 +189,18 @@ class _FrameStep(nn.Module):
                 lambda p, tt, vv: assign_frame(
                     p, tt, vv, spec, cfg.img_w, cfg.img_h)
             )
-            matched = jax.vmap(
+            # one batched JV solve for BOTH branches: fir rows ride the same
+            # vmapped axis as sec, halving the while-loop fixed costs vs a
+            # separate criterion-side solve (the reference bounced each
+            # branch to scipy separately, dynamic_assign.py:241-243)
+            s_stages = out.pred_sec.shape[0]
+            matched_both = jax.vmap(
                 lambda ps: assign_batch(ps, label, target_valid))(
-                jax.lax.stop_gradient(out.pred_sec)
-            )  # [S, B, L]
+                jax.lax.stop_gradient(
+                    jnp.concatenate([out.pred_fir, out.pred_sec], axis=0))
+            )  # [2S, B, L]
+            matched_fir = matched_both[:s_stages]
+            matched = matched_both[s_stages:]
             idx = jnp.clip(matched[-1], 0, a + k - 1)[..., None]  # [B, L, 1]
             feat_rows = jax.vmap(
                 lambda qf: jnp.take_along_axis(qf, idx, axis=1))(
@@ -202,7 +217,7 @@ class _FrameStep(nn.Module):
             )
             step_out = TrainFrameOut(
                 pred_fir=out.pred_fir, pred_sec=out.pred_sec, diff=out.diff,
-                matched_sec=matched,
+                matched_sec=matched, matched_fir=matched_fir,
             )
         else:
             routed = route_predictions(cfg, out)  # [B, A+K, dim]
@@ -262,15 +277,24 @@ class _FrameStep(nn.Module):
             # matched priors of the *second* branch per stage feed the memory
             # (``RouterWithB.forward``: saveMemory(matched_sec, curr_cut));
             # each stage stores its own matches, zipped with its features.
-            matched = jax.vmap(lambda ps: assign_batch(ps, label, target_valid))(
-                jax.lax.stop_gradient(out.pred_sec)
-            )  # [S, B, L]
+            # The first branch's assignment (needed only by the criterion)
+            # rides the SAME batched JV solve on the vmapped axis — one
+            # solve per frame for both branches instead of one per
+            # frame + one per stage in the criterion.
+            s_stages = out.pred_sec.shape[0]
+            matched_both = jax.vmap(
+                lambda ps: assign_batch(ps, label, target_valid))(
+                jax.lax.stop_gradient(
+                    jnp.concatenate([out.pred_fir, out.pred_sec], axis=0))
+            )  # [2S, B, L]
+            matched_fir = matched_both[:s_stages]
+            matched = matched_both[s_stages:]
             carry = _write_memory_per_stage(
                 carry, out.attn_feat, matched, target_valid
             )
             step_out = TrainFrameOut(
                 pred_fir=out.pred_fir, pred_sec=out.pred_sec, diff=out.diff,
-                matched_sec=matched,
+                matched_sec=matched, matched_fir=matched_fir,
             )
         else:
             routed = route_predictions(cfg, out)  # [B, A, dim]
