@@ -39,35 +39,47 @@ def _nms_kernel(starts_ref, ends_ref, xs_ref, valid_ref, keep_ref, sup_ref,
     a = xs_ref.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (a, n_offsets), 1)
     sup_ref[:] = jnp.zeros((a, 1), jnp.int32)
+    keep_ref[:] = jnp.zeros((a, 1), jnp.int32)
 
-    def body(i, kept_count):
+    def cond(state):
+        i, kept_count = state
+        # stop at the top_k-th keep: every later proposal's flag is 0,
+        # exactly as the old (kept_count < top_k) mask produced
+        return (i < a) & (kept_count < top_k)
+
+    def body(state):
+        i, kept_count = state
         v_i = valid_ref[pl.ds(i, 1), :]       # [1, 1]
         s_flag = sup_ref[pl.ds(i, 1), :]      # [1, 1]
-        can_keep = (v_i > 0) & (s_flag == 0) & (kept_count < top_k)  # [1, 1]
+        can_keep = (v_i[0, 0] > 0) & (s_flag[0, 0] == 0)
 
-        # suppression row of proposal i vs all: overlap window + mean |dx|
-        s_i = starts_ref[pl.ds(i, 1), :]      # [1, 1]
-        e_i = ends_ref[pl.ds(i, 1), :]
-        xs_i = xs_ref[pl.ds(i, 1), :]         # [1, O]
-        starts = starts_ref[:]                # [A, 1]
-        ends = ends_ref[:]
-        pair_start = jnp.maximum(s_i, starts)  # [A, 1]
-        pair_end = jnp.minimum(e_i, ends)
-        overlap = pair_end >= pair_start
-        in_range = (rows >= pair_start) & (rows <= pair_end)
-        diff = jnp.abs(xs_ref[:] - xs_i)
-        dist = jnp.sum(jnp.where(in_range, diff, 0.0), axis=1, keepdims=True)
-        count = (pair_end - pair_start + 1).astype(dist.dtype)
-        sup_row = overlap & (dist < thresh * count) & (valid_ref[:] > 0)
+        @pl.when(can_keep)
+        def _():
+            # suppression row of the KEPT proposal i vs all: overlap
+            # window + mean |dx|. Guarded so the O(A*O) row is computed
+            # only for kept proposals (<= top_k of them) — skipped
+            # iterations cost two scalar reads.
+            s_i = starts_ref[pl.ds(i, 1), :]      # [1, 1]
+            e_i = ends_ref[pl.ds(i, 1), :]
+            xs_i = xs_ref[pl.ds(i, 1), :]         # [1, O]
+            starts = starts_ref[:]                # [A, 1]
+            ends = ends_ref[:]
+            pair_start = jnp.maximum(s_i, starts)  # [A, 1]
+            pair_end = jnp.minimum(e_i, ends)
+            overlap = pair_end >= pair_start
+            in_range = (rows >= pair_start) & (rows <= pair_end)
+            diff = jnp.abs(xs_ref[:] - xs_i)
+            dist = jnp.sum(jnp.where(in_range, diff, 0.0), axis=1,
+                           keepdims=True)
+            count = (pair_end - pair_start + 1).astype(dist.dtype)
+            sup_row = overlap & (dist < thresh * count) & (valid_ref[:] > 0)
+            # self-suppression is harmless: i's keep flag is already set
+            sup_ref[:] = sup_ref[:] | sup_row.astype(jnp.int32)
+            keep_ref[pl.ds(i, 1), :] = jnp.ones((1, 1), jnp.int32)
 
-        # self-suppression is harmless: i's keep flag is already recorded
-        sup_ref[:] = jnp.where(
-            can_keep, sup_ref[:] | sup_row.astype(jnp.int32), sup_ref[:]
-        )
-        keep_ref[pl.ds(i, 1), :] = can_keep.astype(jnp.int32)
-        return kept_count + can_keep.astype(jnp.int32)[0, 0]
+        return i + 1, kept_count + can_keep.astype(jnp.int32)
 
-    jax.lax.fori_loop(0, a, body, jnp.int32(0))
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
 
 @partial(jax.jit, static_argnames=("thresh", "n_offsets", "top_k", "interpret"))
