@@ -18,7 +18,10 @@ import numpy as np
 from ..config import Config
 from ..losses import LaneCriterion
 from ..models import PHNet
-from ..parallel import batch_sharding, make_mesh, replicate_sharding, shard_params
+from ..parallel import (
+    batch_sharding, global_batch, is_multihost, make_mesh,
+    replicate_sharding, shard_params,
+)
 from ..utils.logger import AverageMeter, TextLogger
 from .checkpoint import CheckpointManager
 from .optimizer import build_optimizer, cosine_schedule
@@ -63,11 +66,27 @@ def train(
         state = ckpt.restore_weights(state, initial)
 
     if mesh is not None:
-        state = state.replace(
-            params=jax.device_put(state.params, shard_params(state.params, mesh)),
-            batch_stats=jax.device_put(state.batch_stats, replicate_sharding(mesh)),
-            opt_state=jax.device_put(state.opt_state, replicate_sharding(mesh)),
-        )
+        multihost = is_multihost()
+        psh = shard_params(state.params, mesh)
+        if multihost:
+            # params/opt state are identical on every process (same init
+            # seed, same restore); lift them onto the global mesh from the
+            # full local copies. Batches differ per process and go through
+            # make_array_from_process_local_data below.
+            from ..parallel.multihost import global_tree, replicate_tree
+            state = state.replace(
+                params=global_tree(state.params, psh),
+                batch_stats=replicate_tree(mesh, state.batch_stats),
+                opt_state=replicate_tree(mesh, state.opt_state),
+            )
+        else:
+            state = state.replace(
+                params=jax.device_put(state.params, psh),
+                batch_stats=jax.device_put(
+                    state.batch_stats, replicate_sharding(mesh)),
+                opt_state=jax.device_put(
+                    state.opt_state, replicate_sharding(mesh)),
+            )
         bsh = batch_sharding(mesh)
 
     step_fn = jax.jit(make_train_step(model, criterion, tx))
@@ -86,9 +105,25 @@ def train(
             frames = jnp.asarray(batch["frames"])
             labels = jnp.asarray(batch["labels"])
             if mesh is not None:
-                frames = jax.device_put(frames, bsh)
-                labels = jax.device_put(labels, bsh)
+                if multihost:
+                    # the loader yields this process's batch shard; stitch
+                    # the global array across hosts (no host materializes
+                    # the full batch)
+                    frames = global_batch(mesh, np.asarray(batch["frames"]))
+                    labels = global_batch(mesh, np.asarray(batch["labels"]))
+                else:
+                    frames = jax.device_put(frames, bsh)
+                    labels = jax.device_put(labels, bsh)
             rng = jax.random.fold_in(jax.random.key(tcfg.seed), int(state.step))
+            if mesh is not None and multihost:
+                from ..parallel.multihost import barrier, global_key
+                rng = global_key(mesh, rng)
+                if epoch == start_epoch and it == 0:
+                    # compile on all processes, then re-align before the
+                    # first execution so the collective-fabric context
+                    # rendezvous doesn't race compile skew
+                    step_fn.lower(state, frames, labels, rng).compile()
+                    barrier("phnet-train-compiled")
             state, metrics = step_fn(state, frames, labels, rng)
             loss = float(metrics["loss"])
             assert np.isfinite(loss), "Loss is NaN!"

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--fp32", action="store_true",
                     help="disable bf16 compute (reference trains with amp; "
                          "bf16 is the TPU equivalent and ~1.3x faster)")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 for multi-host training")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument(
         "--variant", choices=("single", "multiscale", "propagate"),
         default="single",
@@ -50,6 +54,10 @@ def main():
     from phnet_tpu.parallel import make_mesh
     from phnet_tpu.train.trainer import train
 
+    if args.num_processes:
+        from phnet_tpu.parallel import initialize
+        initialize(args.coordinator, args.num_processes, args.process_id)
+
     make_cfg = {
         "single": openlane_config,
         "multiscale": openlane_multiscale_config,
@@ -66,8 +74,9 @@ def main():
     frames = args.frames or cfg.train.sampled_frames
 
     n_dev = len(jax.devices())
-    batch = args.batch or max(n_dev, 1)
+    batch = args.batch or max(n_dev, 1)  # GLOBAL clips per step
     mesh = None if (args.no_mesh or n_dev == 1) else make_mesh(n_dev)
+    local_batch = max(batch // jax.process_count(), 1)
 
     if args.synthetic:
         dataset = SyntheticVideoDataset(
@@ -89,7 +98,7 @@ def main():
         )
 
     loader = ClipLoader(
-        dataset, batch_size=batch, shuffle=True, seed=cfg.train.seed,
+        dataset, batch_size=local_batch, shuffle=True, seed=cfg.train.seed,
         num_shards=jax.process_count(), shard_index=jax.process_index(),
     )
     state, history = train(

@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--fp32", action="store_true",
                     help="disable bf16 compute (reference trains with amp; "
                          "bf16 is the TPU equivalent and ~1.3x faster)")
+    # multi-host: every host runs this same command with its own
+    # --process-id (the torchrun/DDP launch equivalent, trainVIL.py:156-161)
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 for multi-host training")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     import dataclasses
@@ -44,6 +50,10 @@ def main():
     from phnet_tpu.data import ClipLoader, SyntheticVideoDataset, TrainAugment
     from phnet_tpu.parallel import make_mesh
     from phnet_tpu.train.trainer import train
+
+    if args.num_processes:
+        from phnet_tpu.parallel import initialize
+        initialize(args.coordinator, args.num_processes, args.process_id)
 
     cfg = vil100_config()
     if not args.fp32:
@@ -56,8 +66,10 @@ def main():
     frames = args.frames or cfg.train.sampled_frames
 
     n_dev = len(jax.devices())
-    batch = args.batch or max(n_dev, 1)
+    batch = args.batch or max(n_dev, 1)  # GLOBAL clips per step
     mesh = None if (args.no_mesh or n_dev == 1) else make_mesh(n_dev)
+    # each process loads 1/process_count of the global batch
+    local_batch = max(batch // jax.process_count(), 1)
 
     if args.synthetic:
         dataset = SyntheticVideoDataset(
@@ -80,7 +92,7 @@ def main():
         )
 
     loader = ClipLoader(
-        dataset, batch_size=batch, shuffle=True, seed=cfg.train.seed,
+        dataset, batch_size=local_batch, shuffle=True, seed=cfg.train.seed,
         num_shards=jax.process_count(), shard_index=jax.process_index(),
     )
     state, history = train(
