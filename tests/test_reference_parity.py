@@ -608,6 +608,11 @@ def test_ol_head_import_forward_parity(ref, ref_ol_models, with_memory):
     ref_cfg = types.SimpleNamespace(
         img_w=IMG_W, img_h=IMG_H, num_points=N_OFFSETS,
         num_priors=HP["num_priors"])
+    # pin the torch init draw: the parity tolerance absorbs float
+    # reassociation drift through 3 refinement stages, and an unlucky
+    # random draw can exceed it (the comparison is exactness-of-import,
+    # not statistics — any fixed draw is equally valid)
+    torch.manual_seed(0)
     det = ref_ol_models.DetNetV2(
         prior_feat_channels=HP["prior_feat_channels"],
         fc_hidden_dim=HP["fc_hidden_dim"], num_fc=2,
@@ -699,6 +704,7 @@ def test_dynamic_conv_v2_forward_parity(ref):
     from phnet_tpu.utils.torch_import import _lin, _ln
 
     P, C, OUT = 12, 16, 64
+    torch.manual_seed(0)  # pin the init draw (see OL head parity note)
     tmod = dynamic_head.DynamicConvV2(
         feat_size=P, inplanes=C, outplanes=OUT, early_return=False).eval()
     sd = {k: v.numpy() for k, v in tmod.state_dict().items()}
