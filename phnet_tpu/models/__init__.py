@@ -3,5 +3,10 @@ from .fpn import FPN
 from .encoder import Encoder
 from .head import LaneHead
 from .phnet import PHNet
+from .deform_attn import MSDeformAttn
+from .seg_decoder import SegDecoder
 
-__all__ = ["ResNetBackbone", "FPN", "Encoder", "LaneHead", "PHNet"]
+__all__ = [
+    "ResNetBackbone", "FPN", "Encoder", "LaneHead", "PHNet",
+    "MSDeformAttn", "SegDecoder",
+]
