@@ -5,8 +5,9 @@ from .head import LaneHead
 from .phnet import PHNet
 from .deform_attn import MSDeformAttn
 from .seg_decoder import SegDecoder
+from .flow_warp import WarpModel, flow_warp
 
 __all__ = [
     "ResNetBackbone", "FPN", "Encoder", "LaneHead", "PHNet",
-    "MSDeformAttn", "SegDecoder",
+    "MSDeformAttn", "SegDecoder", "WarpModel", "flow_warp",
 ]
