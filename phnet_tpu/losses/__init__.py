@@ -1,5 +1,8 @@
 from .assign import (
+    anc_assign,
+    assign_cross_frame,
     assign_frame,
+    assign_one2many,
     assignment_cost,
     dynamic_k_assign,
     dynamic_topk_assign,
@@ -12,7 +15,10 @@ from .focal import softmax_focal_loss
 from .criterion import LaneCriterion
 
 __all__ = [
+    "anc_assign",
+    "assign_cross_frame",
     "assign_frame",
+    "assign_one2many",
     "assignment_cost",
     "dynamic_k_assign",
     "dynamic_topk_assign",

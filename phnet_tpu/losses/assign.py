@@ -99,7 +99,7 @@ def _focal_cost_pos(cls_logits: jnp.ndarray, alpha: float = 0.25,
     return pos[:, 1] - neg[:, 1]
 
 
-def assignment_cost(
+def _cost_and_iou(
     predictions: jnp.ndarray,
     targets: jnp.ndarray,
     target_valid: jnp.ndarray,
@@ -108,18 +108,30 @@ def assignment_cost(
     img_h: int,
     distance_cost_weight: float = 3.0,
     cls_cost_weight: float = 1.0,
-) -> jnp.ndarray:
-    """Assignment cost matrix C = cost - iou, shape ``[L, A]``.
+    alpha: float = 0.25,
+    plus_eps: bool = False,
+    iou_length: float = 15.0,
+    scale_pred_xs: bool = True,
+    pred_valid: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared cost pieces of the ``dynamic_assign`` family: returns
+    ``(cost, iou)``, both ``[A, L]``.
 
-    predictions: [A, dim] (xs normalized); targets: [L, dim] (xs in px);
-    target_valid: [L] bool. Padded target rows produce garbage entries —
-    mask them out downstream.
+    ``plus_eps`` selects the two normalization styles in the reference:
+    ``1 - x/(max+1e-4)`` (``assign``/``assignV2``/``assignOne2Many``,
+    ``dynamic_assign.py:153,208,306``) vs ``1 - x/max + 1e-2``
+    (``anc_assign``/``assignCrossFrame``, :258,374). ``scale_pred_xs``
+    is off for cross-frame matching, whose "predictions" are encoded
+    targets already in px (:369). ``pred_valid`` extends the max-
+    normalization mask to padded prediction rows (only needed when the
+    prediction side is a padded target tensor).
     """
     predictions = jax.lax.stop_gradient(predictions)
     targets = jax.lax.stop_gradient(targets)
-    a = predictions.shape[0]
 
-    pred_xs_px = predictions[:, spec.col_xs :] * (img_w - 1)
+    pred_xs_px = predictions[:, spec.col_xs :]
+    if scale_pred_xs:
+        pred_xs_px = pred_xs_px * (img_w - 1)
     tgt_xs_px = targets[:, spec.col_xs :]
 
     # --- mean |dx| over the target's valid columns; the reference slices
@@ -137,13 +149,22 @@ def assignment_cost(
     diffs = jnp.where(invalid[None], 0.0, diffs)
     distances = diffs.sum(-1) / (lengths[None] + 1e-9)  # [A, L]
 
+    pair_valid = target_valid[None, :]
+    if pred_valid is not None:
+        pair_valid = pair_valid & pred_valid[:, None]
+
     def masked_max(x):
-        big = jnp.max(jnp.where(target_valid[None, :], x, -jnp.inf))
+        big = jnp.max(jnp.where(pair_valid, x, -jnp.inf))
         return jnp.maximum(big, 0.0)
 
-    dist_score = 1.0 - distances / (masked_max(distances) + 1e-4)
+    def score(x):
+        if plus_eps:
+            return 1.0 - x / masked_max(x) + 1e-2
+        return 1.0 - x / (masked_max(x) + 1e-4)
 
-    cls_score = _focal_cost_pos(predictions[:, :2])[:, None]  # [A, 1]
+    dist_score = score(distances)
+
+    cls_score = _focal_cost_pos(predictions[:, :2], alpha=alpha)[:, None]
 
     t_sy = targets[:, spec.col_start_y] * (img_h - 1)
     t_sx = targets[:, spec.col_start_x] * (img_w - 1)
@@ -154,19 +175,41 @@ def assignment_cost(
         + (p_sx[:, None] - t_sx[None, :]) ** 2
         + 1e-12
     )
-    start_score = 1.0 - start_d / (masked_max(start_d) + 1e-4)
+    start_score = score(start_d)
 
     theta_d = (
         jnp.abs(predictions[:, spec.col_theta, None] - targets[None, :, spec.col_theta])
         * 180.0
     )
-    theta_score = 1.0 - theta_d / (masked_max(theta_d) + 1e-4)
+    theta_score = score(theta_d)
 
     cost = (
         -((dist_score * start_score * theta_score) ** 2) * distance_cost_weight
         + cls_score * cls_cost_weight
     )
-    iou = line_iou_pairwise(pred_xs_px, tgt_xs_px, img_w, length=15.0)
+    iou = line_iou_pairwise(pred_xs_px, tgt_xs_px, img_w, length=iou_length)
+    return cost, iou
+
+
+def assignment_cost(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    spec: LaneSpec,
+    img_w: int,
+    img_h: int,
+    distance_cost_weight: float = 3.0,
+    cls_cost_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Assignment cost matrix C = cost - iou, shape ``[L, A]``.
+
+    predictions: [A, dim] (xs normalized); targets: [L, dim] (xs in px);
+    target_valid: [L] bool. Padded target rows produce garbage entries —
+    mask them out downstream.
+    """
+    cost, iou = _cost_and_iou(
+        predictions, targets, target_valid, spec, img_w, img_h,
+        distance_cost_weight, cls_cost_weight)
     return (cost - iou).T  # [L, A]
 
 
@@ -343,4 +386,139 @@ def dynamic_k_assign(
     best_t = jnp.argmin(jnp.where(target_valid[None], cost_al, INF), axis=-1)
     onehot_best = jax.nn.one_hot(best_t, l, dtype=bool)
     match = jnp.where(multi[:, None], onehot_best & match.any(-1, keepdims=True), match)
+    return match
+
+
+def anc_assign(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    spec: LaneSpec,
+    img_w: int,
+    img_h: int,
+    distance_cost_weight: float = 3.0,
+    cls_cost_weight: float = 1.0,
+) -> jnp.ndarray:
+    """``dynamic_assign.anc_assign`` (:248-289): the ``+1e-2`` score
+    style, band IoU with length=12, SimOTA dynamic-k matching. Returns
+    a ``[A, L]`` bool match matrix (experimental in the reference —
+    imported but commented out of ``loss4OLV2/V3``)."""
+    cost, iou = _cost_and_iou(
+        predictions, targets, target_valid, spec, img_w, img_h,
+        distance_cost_weight, cls_cost_weight,
+        plus_eps=True, iou_length=12.0)
+    return dynamic_k_assign(cost, iou, target_valid)
+
+
+def assign_one2many(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    spec: LaneSpec,
+    img_w: int,
+    img_h: int,
+    distance_cost_weight: float = 3.0,
+    cls_cost_weight: float = 1.0,
+    n_candidate_k: int = 4,
+) -> jnp.ndarray:
+    """``dynamic_assign.assignOne2Many`` (:292-357): repeated Hungarian
+    rounds give each target up to ``dynamic_k`` distinct priors. Returns
+    a ``[A, L]`` bool match matrix.
+
+    Faithful quirks: focal alpha=0.5 (:309); ``dynamic_ks`` from the
+    top-4 band-IoU sums, min 1 (:341-344); each round's scipy solution
+    is filtered *positionally* by ``dynamic_ks > 0`` (:352) — position i
+    of the row-sorted assignment is gated by target i's remaining k, not
+    by the target actually matched at that position. We replicate that by
+    sorting matches by prior index; this assumes valid targets form a
+    prefix of the padded tensor (true for our readers).
+    """
+    a, l = predictions.shape[0], targets.shape[0]
+    cost, iou = _cost_and_iou(
+        predictions, targets, target_valid, spec, img_w, img_h,
+        distance_cost_weight, cls_cost_weight, alpha=0.5)
+    c_la = (cost - iou).T  # [L, A]
+
+    ious = jnp.where(target_valid[None], jnp.maximum(iou, 0.0), 0.0)
+    topk_ious = jax.lax.top_k(ious.T, min(n_candidate_k, a))[0]  # [L, k]
+    ks0 = jnp.clip(topk_ious.sum(-1).astype(jnp.int32), 1, None)
+    ks0 = jnp.where(target_valid, ks0, 0)
+
+    match0 = jnp.zeros((a, l), bool)
+
+    def cond(state):
+        _, ks, _ = state
+        return ks.sum() > 0
+
+    def body(state):
+        c_work, ks, match = state
+        mp = hungarian_assign(c_work, target_valid)  # [L] prior per target
+        # row-sorted positions: i-th smallest matched prior (valid last)
+        key = jnp.where(target_valid, mp, a + l)
+        order = jnp.argsort(key)
+        keep = (ks > 0) & target_valid[order]  # positional gate (:352)
+        rows = mp[order]
+        match = match.at[rows, order].max(keep)
+        kept_rows = jnp.zeros((a,), bool).at[rows].max(keep)
+        c_work = jnp.where(kept_rows[None, :], INF, c_work)
+        ks = jnp.where(ks > 0, ks - 1, 0)
+        return c_work, ks, match
+
+    _, _, match = jax.lax.while_loop(cond, body, (c_la, ks0, match0))
+    return match
+
+
+def assign_cross_frame(
+    targets_curr: jnp.ndarray,
+    targets_last: jnp.ndarray,
+    curr_valid: jnp.ndarray,
+    last_valid: jnp.ndarray,
+    spec: LaneSpec,
+    img_w: int,
+    img_h: int,
+    distance_cost_weight: float = 3.0,
+    cls_cost_weight: float = 1.0,
+) -> jnp.ndarray:
+    """``dynamic_assign.assignCrossFrame`` + ``dynamic_k_assign_CF``
+    (:360-450): match this frame's encoded targets against the previous
+    frame's for temporal identity propagation. Returns a ``[C, T]`` bool
+    match matrix (curr x last).
+
+    Faithful quirks: the current targets play the prediction role with
+    xs already in px (:369, no rescale); ``+1e-2`` score style; band IoU
+    length=12; dynamic k is the *binary* top-1 of IoU thresholded at 0.8
+    (:421-427) so every last-frame lane gets 0 or 1 partner; priors
+    matched to several gts are reassigned to their min-cost gt alone
+    (:442-446).
+    """
+    c, t = targets_curr.shape[0], targets_last.shape[0]
+    cost, iou = _cost_and_iou(
+        targets_curr, targets_last, last_valid, spec, img_w, img_h,
+        distance_cost_weight, cls_cost_weight,
+        plus_eps=True, iou_length=12.0,
+        scale_pred_xs=False, pred_valid=curr_valid)
+
+    pair_valid = curr_valid[:, None] & last_valid[None, :]
+    binary = jnp.where(pair_valid, iou, 0.0) >= 0.8
+    ks = binary.any(axis=0) & last_valid  # [T] in {0, 1}
+
+    cost_masked = jnp.where(pair_valid, cost, INF)
+    match0 = jnp.zeros((c, t), bool)
+
+    def body(tt, state):
+        cost_work, match = state
+        pos = jnp.argmin(cost_work[:, tt])
+        take = ks[tt]
+        match = match.at[pos, tt].max(take)
+        cost_work = jnp.where(
+            (jnp.arange(c) == pos)[:, None] & take, INF, cost_work)
+        return cost_work, match
+
+    _, match = jax.lax.fori_loop(0, t, body, (cost_masked, match0))
+
+    # reassign multiply-matched current lanes to their min-cost partner
+    multi = match.sum(-1) > 1
+    best = jnp.argmin(jnp.where(last_valid[None], cost, INF), axis=-1)
+    onehot_best = jax.nn.one_hot(best, t, dtype=bool)
+    match = jnp.where(multi[:, None], onehot_best, match)
     return match

@@ -159,6 +159,76 @@ def test_dynamic_topk_assigner_matches_reference(ref, seed, n_valid):
     assert our_pairs == ref_pairs
 
 
+@pytest.mark.parametrize("seed,n_valid", [(0, 1), (1, 2), (2, 4), (3, 6)])
+def test_anc_assign_matches_reference(ref, seed, n_valid):
+    """ours == dynamic_assign.anc_assign (OL layout, +1e-2 score style,
+    IoU length=12, SimOTA dynamic-k)."""
+    from phnet_tpu.losses.assign import anc_assign
+
+    spec = LaneSpec(n_offsets=N_OFFSETS, n_lengths=1)
+    preds, tgts = make_problem(seed + 60, 1, n_valid)
+    valid = tgts[:, 1] == 1
+
+    rows, cols = ref.dynamic_assign.anc_assign(
+        ref.torch.tensor(preds), ref.torch.tensor(tgts[valid]), IMG_W, IMG_H)
+    ref_pairs = set(zip(rows.tolist(), cols.tolist()))
+
+    match = np.array(anc_assign(
+        jnp.array(preds), jnp.array(tgts), jnp.array(valid),
+        spec, IMG_W, IMG_H))
+    our_pairs = {(a, t) for a in range(A) for t in range(L) if match[a, t]}
+    assert our_pairs == ref_pairs
+
+
+@pytest.mark.parametrize("seed,n_valid", [(0, 1), (1, 2), (2, 4), (3, 6)])
+def test_assign_one2many_matches_reference(ref, seed, n_valid):
+    """ours == dynamic_assign.assignOne2Many (repeated Hungarian rounds,
+    positional dynamic-k gate)."""
+    from phnet_tpu.losses.assign import assign_one2many
+
+    spec = LaneSpec(n_offsets=N_OFFSETS, n_lengths=1)
+    preds, tgts = make_problem(seed + 70, 1, n_valid)
+    valid = tgts[:, 1] == 1
+
+    rows, cols = ref.dynamic_assign.assignOne2Many(
+        ref.torch.tensor(preds), ref.torch.tensor(tgts[valid]), IMG_W, IMG_H)
+    ref_pairs = set(zip(rows.tolist(), cols.tolist()))
+
+    match = np.array(assign_one2many(
+        jnp.array(preds), jnp.array(tgts), jnp.array(valid),
+        spec, IMG_W, IMG_H))
+    our_pairs = {(a, t) for a in range(A) for t in range(L) if match[a, t]}
+    assert our_pairs == ref_pairs
+
+
+@pytest.mark.parametrize("seed,nc,nl", [(0, 3, 3), (1, 4, 2), (2, 2, 5),
+                                        (3, 6, 6)])
+def test_assign_cross_frame_matches_reference(ref, seed, nc, nl):
+    """ours == dynamic_assign.assignCrossFrame + dynamic_k_assign_CF
+    (targets-vs-targets temporal matching, binary 0.8-IoU dynamic k)."""
+    from phnet_tpu.losses.assign import assign_cross_frame
+
+    spec = LaneSpec(n_offsets=N_OFFSETS, n_lengths=1)
+    _, curr = make_problem(seed + 80, 1, nc)
+    _, last = make_problem(seed + 90, 1, nl)
+    # overlap some lanes so the 0.8 IoU threshold actually fires
+    n_shared = min(nc, nl) // 2 + 1
+    last[:n_shared] = curr[:n_shared]
+    valid_c = curr[:, 1] == 1
+    valid_l = last[:, 1] == 1
+
+    rows, cols = ref.dynamic_assign.assignCrossFrame(
+        ref.torch.tensor(curr[valid_c]), ref.torch.tensor(last[valid_l]),
+        IMG_W, IMG_H)
+    ref_pairs = set(zip(rows.tolist(), cols.tolist()))
+
+    match = np.array(assign_cross_frame(
+        jnp.array(curr), jnp.array(last), jnp.array(valid_c),
+        jnp.array(valid_l), spec, IMG_W, IMG_H))
+    our_pairs = {(a, t) for a in range(L) for t in range(L) if match[a, t]}
+    assert our_pairs == ref_pairs
+
+
 def _ref_cfg(n_lengths, cls_weight, reg_weight, iou_weight):
     return types.SimpleNamespace(
         num_points=N_OFFSETS, max_lanes=L, img_h=IMG_H, img_w=IMG_W,
