@@ -17,13 +17,26 @@ Linear)``), i.e. an affine∘affine chain. Whenever the bottleneck is wide
 relative to the harmonic mean of the endpoint dims (hid >= in*out/(in+out))
 the pair is computed as a *single* matmul against the pre-combined matrix
 ``K_a @ K_b`` — the exact same function with far fewer per-anchor FLOPs
-(16x for the first generator, 15x for the out layer on the VIL preset),
-and the combine itself depends only on parameters so it is loop-invariant
-across the temporal frame scan. The second generator (4608 -> 1024 ->
-8192) keeps the factored form, which is cheaper there.
+(16x for the first generator, 15x for the out layer on the VIL preset).
+The second generator (4608 -> 1024 -> 8192) keeps the factored form, which
+is cheaper there.
+
+Scan hoisting: the combine depends only on parameters, so it is
+loop-invariant across the temporal frame scan — AND, more importantly, the
+*backward* accumulation across frames is 16x/15x smaller when the scan body
+sees only the combined matrices: ``lax.scan``'s VJP accumulates a cotangent
+buffer per closed-over tensor per iteration, so factoring params inside the
+loop drags ~94 MB/stage of factored-grad accumulator traffic through every
+backward frame. :meth:`combined_weights` computes the collapsed weights for
+the caller to evaluate OUTSIDE the scan and feed back through
+``__call__(..., combined=...)`` (an ``nn.broadcast`` scan input); the
+chain rule from combined to factored params then runs once per step, not
+once per frame.
 """
 
 from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -44,6 +57,12 @@ def _dense_param(module: nn.Module, name: str, in_dim: int, out_dim: int):
     )
 
 
+def _collapse_wins(in_dim: int, hid: int, out_dim: int) -> bool:
+    """Direct costs in*out MACs/row; factored costs in*hid + hid*out —
+    collapse wins iff hid >= in*out/(in+out)."""
+    return hid * (in_dim + out_dim) >= in_dim * out_dim
+
+
 class DynamicConv(nn.Module):
     """V1 (``DynamicConv``, dynamic_head.py:6): roi channels == out dim.
     V2 (``DynamicConvV2`` :61, the multi-scale variant): per-stage roi
@@ -57,54 +76,88 @@ class DynamicConv(nn.Module):
     out_expand: int = 6
     out_dim: int = 0  # 0 -> hidden_dim (V1); V2 uses reg_hidden_dim
     out_hidden: int = 0  # 0 -> hidden_dim * out_expand
+    pro_dim: int = 0  # proposal-embedding dim; 0 -> hidden_dim
     dtype: jnp.dtype = jnp.float32
 
-    def _affine_chain(self, x, pa, pb):
-        """x -> (x @ Ka + ba) @ Kb + bb, collapsed into one matmul whenever
-        that is cheaper: direct costs in*out MACs/row, factored costs
-        in*hid + hid*out, so collapse wins iff hid >= in*out/(in+out).
-        On the VIL preset this collapses the first generator (64->1024->8192,
-        16x) and the out layer (2304->1024->64, 15x) while keeping the
-        second generator factored (4608->1024->8192). The combine runs in
-        f32 on parameters only — loop-invariant, and exact up to float
-        reassociation."""
-        in_dim = x.shape[-1]
-        hid = pa["kernel"].shape[1]
-        out_dim = pb["kernel"].shape[1]
-        if hid * (in_dim + out_dim) >= in_dim * out_dim:
-            w = pa["kernel"] @ pb["kernel"]
-            b = pa["bias"] @ pb["kernel"] + pb["bias"]
-            return x @ w.astype(self.dtype) + b.astype(self.dtype)
-        y = x @ pa["kernel"].astype(self.dtype) + pa["bias"].astype(self.dtype)
-        return y @ pb["kernel"].astype(self.dtype) + pb["bias"].astype(
-            self.dtype)
-
-    @nn.compact
-    def __call__(self, pro_feat: jnp.ndarray, roi_feat: jnp.ndarray) -> jnp.ndarray:
-        """pro_feat: [B, A, pro_dim]; roi_feat: [B, A, P, C] -> [B, A, out]."""
+    def setup(self):
         c = self.hidden_dim
         d = c * self.dim_factor
         num_params = c * d
         hid = num_params // self.param_reduction
         out_dim = self.out_dim or c
         out_hidden = self.out_hidden or c * self.out_expand
+        pro_dim = self.pro_dim or c
+
+        self.g1a = _dense_param(self, "gen1_a", pro_dim, hid)
+        self.g1b = _dense_param(self, "gen1_b", hid, num_params)
+        self.g2a = _dense_param(self, "gen2_a", self.feat_size * d, hid)
+        self.g2b = _dense_param(self, "gen2_b", hid, num_params)
+        self.oa = _dense_param(self, "out_a", self.feat_size * c, out_hidden)
+        self.ob = _dense_param(self, "out_b", out_hidden, out_dim)
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+
+    @staticmethod
+    def _combine(pa, pb) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(x @ Ka + ba) @ Kb + bb == x @ (Ka Kb) + (ba Kb + bb); runs in
+        f32 on parameters only — exact up to float reassociation."""
+        return pa["kernel"] @ pb["kernel"], pa["bias"] @ pb["kernel"] + pb["bias"]
+
+    def combined_weights(self) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Collapsed (kernel, bias) per chain where the collapse wins; the
+        caller evaluates this once OUTSIDE the temporal scan."""
+        out = {}
+        if _collapse_wins(*self.g1a["kernel"].shape, self.g1b["kernel"].shape[1]):
+            out["gen1"] = self._combine(self.g1a, self.g1b)
+        if _collapse_wins(*self.g2a["kernel"].shape, self.g2b["kernel"].shape[1]):
+            out["gen2"] = self._combine(self.g2a, self.g2b)
+        if _collapse_wins(*self.oa["kernel"].shape, self.ob["kernel"].shape[1]):
+            out["out"] = self._combine(self.oa, self.ob)
+        return out
+
+    def _affine_chain(self, x, pa, pb, pre=None):
+        """x -> (x @ Ka + ba) @ Kb + bb, collapsed into one matmul whenever
+        that is cheaper. On the VIL preset this collapses the first
+        generator (64->1024->8192, 16x) and the out layer (2304->1024->64,
+        15x) while keeping the second generator factored
+        (4608->1024->8192). ``pre`` supplies the collapsed (kernel, bias)
+        computed outside the scan (see module docstring)."""
+        if pre is not None:
+            w, b = pre
+            return x @ w.astype(self.dtype) + b.astype(self.dtype)
+        in_dim = x.shape[-1]
+        hid = pa["kernel"].shape[1]
+        out_dim = pb["kernel"].shape[1]
+        if _collapse_wins(in_dim, hid, out_dim):
+            w, b = self._combine(pa, pb)
+            return x @ w.astype(self.dtype) + b.astype(self.dtype)
+        y = x @ pa["kernel"].astype(self.dtype) + pa["bias"].astype(self.dtype)
+        return y @ pb["kernel"].astype(self.dtype) + pb["bias"].astype(
+            self.dtype)
+
+    def __call__(
+        self,
+        pro_feat: jnp.ndarray,
+        roi_feat: jnp.ndarray,
+        combined: Optional[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+    ) -> jnp.ndarray:
+        """pro_feat: [B, A, pro_dim]; roi_feat: [B, A, P, C] -> [B, A, out].
+        ``combined``: output of :meth:`combined_weights` evaluated outside
+        the enclosing scan (optional — falls back to in-line collapse)."""
+        c = self.hidden_dim
+        d = c * self.dim_factor
+        combined = combined or {}
 
         pro_feat = pro_feat.astype(self.dtype)
         roi_feat = roi_feat.astype(self.dtype)
-        pro_dim = pro_feat.shape[-1]
-
-        g1a = _dense_param(self, "gen1_a", pro_dim, hid)
-        g1b = _dense_param(self, "gen1_b", hid, num_params)
-        g2a = _dense_param(self, "gen2_a", self.feat_size * d, hid)
-        g2b = _dense_param(self, "gen2_b", hid, num_params)
-        oa = _dense_param(self, "out_a", self.feat_size * c, out_hidden)
-        ob = _dense_param(self, "out_b", out_hidden, out_dim)
 
         # first generated weight: [B, A, C, D]
-        w1 = self._affine_chain(pro_feat, g1a, g1b)
+        w1 = self._affine_chain(pro_feat, self.g1a, self.g1b,
+                                combined.get("gen1"))
         w1 = w1.reshape(*w1.shape[:-1], c, d)
         feats = jnp.einsum("bapc,bacd->bapd", roi_feat, w1)
-        feats = nn.LayerNorm(dtype=self.dtype, name="norm1")(feats)
+        feats = self.norm1(feats)
         feats = nn.relu(feats)
 
         # second generated weight conditioned on stop-gradded activations
@@ -112,13 +165,14 @@ class DynamicConv(nn.Module):
         gen_in = jax.lax.stop_gradient(feats).reshape(
             *feats.shape[:-2], self.feat_size * d
         )
-        w2 = self._affine_chain(gen_in, g2a, g2b)
+        w2 = self._affine_chain(gen_in, self.g2a, self.g2b,
+                                combined.get("gen2"))
         w2 = w2.reshape(*w2.shape[:-1], d, c)
         feats = jnp.einsum("bapd,badc->bapc", feats, w2)
-        feats = nn.LayerNorm(dtype=self.dtype, name="norm2")(feats)
+        feats = self.norm2(feats)
         feats = nn.relu(feats)
 
         flat = feats.reshape(*feats.shape[:-2], self.feat_size * c)
-        out = self._affine_chain(flat, oa, ob)
-        out = nn.LayerNorm(dtype=self.dtype, name="norm3")(out)
+        out = self._affine_chain(flat, self.oa, self.ob, combined.get("out"))
+        out = self.norm3(out)
         return out.astype(jnp.float32)

@@ -175,6 +175,9 @@ class LaneHead(nn.Module):
                 dim_factor=h.dyn_dim_factor,
                 param_reduction=h.dyn_param_reduction,
                 out_expand=h.dyn_out_expand,
+                # stage 0 sees the pro_embedding, later stages the previous
+                # stage's decode_feat
+                pro_dim=(h.prior_feat_channels if s == 0 else h.fc_hidden_dim),
                 dtype=compute_dtype,
                 name=f"dyn_head_{s}",
             )
@@ -311,6 +314,14 @@ class LaneHead(nn.Module):
             reg_geo, offsets = reg[..., :n_geo], reg[..., n_geo:]
         return self._assemble(priors, cls_logits, reg_geo, offsets)
 
+    def precompute_combined(self):
+        """Collapsed DynamicConv generator weights, one dict per stage —
+        evaluate OUTSIDE the temporal scan and pass back via
+        ``dyn_combined`` so the backward scan accumulates the small
+        combined cotangents instead of the factored params (see
+        ``dynamic_conv.py`` docstring)."""
+        return tuple(dyn.combined_weights() for dyn in self.dyn_heads)
+
     # -- forward -----------------------------------------------------------
     def __call__(
         self,
@@ -318,6 +329,7 @@ class LaneHead(nn.Module):
         memory_values: Optional[jnp.ndarray],
         memory_mask: Optional[jnp.ndarray],
         train: bool = False,
+        dyn_combined=None,
     ) -> HeadOutputs:
         """One frame.
 
@@ -356,7 +368,10 @@ class LaneHead(nn.Module):
             )[..., 0]  # [B, A]
             diffs.append(diff)
 
-            decode_feat = self.dyn_heads[s](pro_feat, pooled)  # [B, A, C]
+            decode_feat = self.dyn_heads[s](
+                pro_feat, pooled,
+                combined=dyn_combined[s] if dyn_combined else None,
+            )  # [B, A, C]
             pro_feat = jax.lax.stop_gradient(decode_feat)  # iterative enhance
 
             fir_full, fir_lines = self._branch(decode_feat, self.heads_fir,

@@ -109,6 +109,7 @@ class MultiScaleLaneHead(nn.Module):
                 param_reduction=4,
                 out_dim=d,
                 out_hidden=2 * d,
+                pro_dim=d,  # pro_embedding / previous decode_feat width
                 name=f"dyn_head_{s}",
             )
             for s in range(h.refine_layers)
@@ -185,12 +186,18 @@ class MultiScaleLaneHead(nn.Module):
         n_geo = 3 + self.spec.n_lengths
         return self._assemble(priors, cls_logits, reg[..., :n_geo], reg[..., n_geo:])
 
+    def precompute_combined(self):
+        """Collapsed DynamicConv generator weights per stage (evaluate
+        outside the temporal scan; see ``dynamic_conv.py``)."""
+        return tuple(dyn.combined_weights() for dyn in self.dyn_heads)
+
     def __call__(
         self,
         fpn_feats: Tuple[jnp.ndarray, ...],
         memory_values: Optional[jnp.ndarray],
         memory_mask: Optional[jnp.ndarray],
         train: bool = False,
+        dyn_combined=None,
     ) -> HeadOutputs:
         h = self.cfg.head
         levels = tuple(reversed(fpn_feats))
@@ -215,7 +222,10 @@ class MultiScaleLaneHead(nn.Module):
             )[..., 0]
             diffs.append(diff)
 
-            decode_feat = self.dyn_heads[s](pro_feat, pooled)  # [B, A, D]
+            decode_feat = self.dyn_heads[s](
+                pro_feat, pooled,
+                combined=dyn_combined[s] if dyn_combined else None,
+            )  # [B, A, D]
             pro_feat = jax.lax.stop_gradient(decode_feat)
 
             fir_full, fir_lines = self._branch(

@@ -136,6 +136,7 @@ class PropagatingLaneHead(LaneHead):
         last_priors: jnp.ndarray,  # [B, K, dim]  frame t-1 kept predictions
         last_valid: jnp.ndarray,   # [B, K] bool
         train: bool = False,
+        dyn_combined=None,
     ) -> V3HeadOutputs:
         h = self.cfg.head
         levels = tuple(reversed(fpn_feats))
@@ -157,7 +158,10 @@ class PropagatingLaneHead(LaneHead):
         preds_fir, preds_sec, diffs, query_feats = [], [], [], []
         for s in range(h.refine_layers):
             pooled = self._pool(levels[s], priors)  # [B, A, P, C]
-            decode_feat = self.dyn_heads[s](pro_feat, pooled)  # [B, A, C]
+            decode_feat = self.dyn_heads[s](
+                pro_feat, pooled,
+                combined=dyn_combined[s] if dyn_combined else None,
+            )  # [B, A, C]
             pro_feat = jax.lax.stop_gradient(decode_feat)
 
             attn_feat = jnp.concatenate(

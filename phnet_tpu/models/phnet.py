@@ -125,10 +125,35 @@ def route_predictions(cfg: ModelConfig, out: HeadOutputs) -> jnp.ndarray:
 
 
 class _FrameStep(nn.Module):
-    """One scan step: head forward + memory update."""
+    """One scan step: head forward + memory update.
+
+    The head lives in ``setup`` so its methods can be reached both inside
+    the scan (``__call__``) and outside it (``precompute`` — the collapsed
+    DynamicConv weights must be evaluated before the scan so their
+    factored-param chain rule runs once per step, not once per frame; see
+    ``dynamic_conv.py``).
+    """
 
     cfg: ModelConfig
     train_mode: bool
+
+    def setup(self):
+        h = self.cfg.head
+        if h.propagate_priors:
+            from .head_v3 import PropagatingLaneHead
+
+            self.head = PropagatingLaneHead(self.cfg)
+        elif h.variant == "multi":
+            from .head_ms import MultiScaleLaneHead
+
+            self.head = MultiScaleLaneHead(self.cfg)
+        else:
+            self.head = LaneHead(self.cfg)
+
+    def precompute(self):
+        """Loop-invariant per-stage combined generator weights (or None)."""
+        fn = getattr(self.head, "precompute_combined", None)
+        return fn() if fn is not None else None
 
     def _nms_keeps(self, routed: jnp.ndarray):
         """Confidence filter + lane NMS on routed predictions [B, R, dim].
@@ -158,7 +183,7 @@ class _FrameStep(nn.Module):
         )
         return kept, keep_idx, num_kept
 
-    def _v3_step(self, carry: "V3MemoryState", xs):
+    def _v3_step(self, carry: "V3MemoryState", xs, dyn_combined=None):
         """Prior-propagation scan step (Router4OLV3 ``RouterOL.forward``,
         ``Router4OLV3.py:676-727``): run the propagating head over
         [A regular + K propagated] rows, then refresh the one-frame carry
@@ -171,16 +196,13 @@ class _FrameStep(nn.Module):
         matched anchors, exactly the rows whose features ``saveMemory``
         stores (``:729-741``, which uses ``matched_indices[-1]`` for every
         stage's features)."""
-        from .head_v3 import PropagatingLaneHead
-
         cfg = self.cfg
         feats, label = xs
         a = cfg.head.num_priors
         k = cfg.max_lanes
 
-        head = PropagatingLaneHead(cfg, name="head")
-        out = head(feats, carry.feat, carry.priors, carry.mask,
-                   train=self.train_mode)
+        out = self.head(feats, carry.feat, carry.priors, carry.mask,
+                        train=self.train_mode, dyn_combined=dyn_combined)
 
         spec = cfg.lane
         if self.train_mode:
@@ -245,11 +267,10 @@ class _FrameStep(nn.Module):
             )
         return carry, step_out
 
-    @nn.compact
-    def __call__(self, carry, xs):
+    def __call__(self, carry, xs, dyn_combined=None):
         cfg = self.cfg
         if cfg.head.propagate_priors:
-            return self._v3_step(carry, xs)
+            return self._v3_step(carry, xs, dyn_combined)
         feats, label = xs  # feats: tuple of [B, h, w, c]; label: [B, L, dim]
         b = feats[0].shape[0]
         s = cfg.head.refine_layers
@@ -259,13 +280,8 @@ class _FrameStep(nn.Module):
         mem_flat_vals = carry.values.reshape(b, s, window * slots, -1)
         mem_flat_mask = carry.mask.reshape(b, window * slots)
 
-        if cfg.head.variant == "multi":
-            from .head_ms import MultiScaleLaneHead
-
-            head = MultiScaleLaneHead(cfg, name="head")
-        else:
-            head = LaneHead(cfg, name="head")
-        out = head(feats, mem_flat_vals, mem_flat_mask, train=self.train_mode)
+        out = self.head(feats, mem_flat_vals, mem_flat_mask,
+                        train=self.train_mode, dyn_combined=dyn_combined)
 
         spec = cfg.lane
         if self.train_mode:
@@ -416,7 +432,17 @@ class PHNet(nn.Module):
         else:
             labels_t = labels.swapaxes(0, 1)
 
-        step_cls = _FrameStep
+        frame = _FrameStep(cfg=cfg, train_mode=train, name="frame")
+        # collapsed DynamicConv generator weights: computed OUTSIDE the scan
+        # so lax.scan's VJP accumulates the small combined cotangents
+        # (e.g. [64, 8192]) instead of the factored params ([1024, 8192]
+        # etc. — ~290 MB of accumulator traffic per backward frame on the
+        # VIL preset); the combined->factored chain rule runs once per step.
+        dyn_combined = frame.precompute()
+
+        def body(mdl, carry, xs, comb):
+            return mdl(carry, xs, comb)
+
         if train and cfg.remat_frames:
             # recompute each frame's activations in the backward instead of
             # storing T copies (the reference relies on torch autograd's
@@ -426,16 +452,15 @@ class PHNet(nn.Module):
             # cutting the recompute cost of the backward scan.
             policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                       if cfg.remat_policy == "dots" else None)
-            step_cls = nn.remat(_FrameStep, prevent_cse=False, policy=policy)
+            body = nn.remat(body, prevent_cse=False, policy=policy)
         scan = nn.scan(
-            step_cls,
+            body,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
-            in_axes=0,
+            in_axes=(0, nn.broadcast),
             out_axes=0,
             unroll=cfg.scan_unroll,
         )
-        final_mem, outs = scan(cfg=cfg, train_mode=train, name="frame")(
-            mem0, (tuple(feats), labels_t)
-        )
+        final_mem, outs = scan(frame, mem0, (tuple(feats), labels_t),
+                               dyn_combined)
         return outs, final_mem

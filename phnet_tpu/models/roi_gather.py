@@ -48,6 +48,10 @@ class _ConvBNReLU(nn.Module):
 
 
 class ROIGather(nn.Module):
+    """``use_attention=False`` reproduces ``ROIGather_T`` (:141-256), the
+    truncated variant whose forward stops after the fc+LN+ReLU roi vector
+    (its attention branch is commented out in the reference)."""
+
     in_channels: int
     num_priors: int
     sample_points: int
@@ -56,6 +60,7 @@ class ROIGather(nn.Module):
     mid_channels: int = 48
     resize_hw: tuple = (10, 25)
     dropout_rate: float = 0.1
+    use_attention: bool = True
 
     def _per_prior_conv(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
         """Grouped Conv1d(A, A, k=1, groups=A) on [B, A, C]: per-prior
@@ -100,6 +105,8 @@ class ROIGather(nn.Module):
         # torch nn.LayerNorm eps (flax defaults to 1e-6)
         roi = nn.relu(nn.LayerNorm(epsilon=1e-5, name="fc_norm")(roi))
         roi = roi.reshape(b, a, self.fc_hidden_dim)
+        if not self.use_attention:  # ROIGather_T (:224-256)
+            return roi
 
         # attention over the resized global map. FeatureResize uses
         # F.interpolate's LEGACY nearest (src = floor(dst * in/out)), which

@@ -138,3 +138,16 @@ def test_roi_gather_matches_reference(ref_roi, layer_index):
     ours = np.asarray(ours_mod.apply(
         imported, rois_j, jnp.asarray(x.transpose(0, 2, 3, 1)), layer_index))
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-5)
+
+    # ROIGather_T (use_attention=False) == reference forward truncated at
+    # the roi vector (libs/models/utils/roi_gather.py:224-256)
+    with torch.no_grad():
+        cat = ref.roi_fea([torch.from_numpy(r) for r in rois_t], layer_index)
+        roi_t = cat.contiguous().view(b * a, -1)
+        roi_t = torch.nn.functional.relu(ref.fc_norm(ref.fc(roi_t)))
+        roi_t = roi_t.view(b, a, -1).numpy()
+    mod_t = ROIGather(c, a, pts, fc, layers, mid_channels=8,
+                      use_attention=False)
+    ours_t = np.asarray(mod_t.apply(
+        imported, rois_j, jnp.asarray(x.transpose(0, 2, 3, 1)), layer_index))
+    np.testing.assert_allclose(ours_t, roi_t, rtol=2e-4, atol=2e-5)
