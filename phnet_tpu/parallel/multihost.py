@@ -83,18 +83,24 @@ def warm_collectives(mesh: Mesh) -> None:
     the group's first collective, with a ~30 s rendezvous timeout. The
     first real collective sits after minutes of jit compilation whose
     duration can skew across processes (e.g. one process hits a compile
-    cache the other just filled), so the lazy init loses the race. A
-    sub-second all-reduce over the full mesh here creates the context that
-    every later psum/all-gather on this mesh reuses. No-op cost on TPU
-    (ICI contexts don't have the rendezvous race, the barrier is cheap).
+    cache the other just filled — including this warm program's own
+    compile), so the lazy init loses the race. So: compile the warm
+    all-reduce FIRST, re-align every process at a coordination-service
+    barrier (which has a generous timeout), and only then execute —
+    the gloo rendezvous then races only sub-second execution skew. The
+    contexts it creates are reused by every later psum/all-gather on
+    this mesh. No-op cost on TPU (ICI has no rendezvous race).
     """
     sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     n = mesh.devices.size
     local = np.zeros((max(n // jax.process_count(), 1),), np.float32)
     x = jax.make_array_from_process_local_data(sharding, local)
-    jax.jit(
+    compiled = jax.jit(
         lambda v: v.sum(), out_shardings=NamedSharding(mesh, P())
-    )(x).block_until_ready()
+    ).lower(x).compile()
+    if is_multihost():
+        barrier(f"phnet-warm-{'x'.join(map(str, mesh.devices.shape))}")
+    compiled(x).block_until_ready()
 
 
 def host_local_to_global(x, sharding: NamedSharding):

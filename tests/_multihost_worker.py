@@ -24,7 +24,16 @@ def main():
     # backends are lazy, so config.update still wins (see conftest.py)
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/phnet_jax_cache")
+    # Per-cluster-run cache dir SHARED by both processes (out_path's dir is
+    # the test's tmp_path): every process either compiles fresh or loads an
+    # entry written by its peer THIS run. The global /tmp cache can hold
+    # entries from older/incompatible producers (observed: machine-feature
+    # mismatched AOT results), and a process that loads a stale executable
+    # while its peer compiles fresh diverges in gloo collective-context
+    # order — rendezvous deadlock.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(out_path)),
+                             "jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -45,13 +54,26 @@ def main():
 
     from test_train import setup_training, tiny_cfg
 
+    # Compile choreography: the train-step compile is minutes-scale on
+    # XLA:CPU, so process 1 parks at a coordination barrier while process
+    # 0 compiles EVERYTHING and populates the shared per-run cache; it
+    # then compiles from that cache (seconds). This both bounds the test's
+    # wall time (one fresh compile, not two racing ones) and guarantees
+    # the two processes execute byte-identical executables — a process
+    # that loads a cached executable while its peer compiles fresh can
+    # diverge in gloo collective-context order, which deadlocks the
+    # 30 s rendezvous. Everything up to (and excluding) warm_collectives
+    # is process-local: jit compiles, make_array_from_* assembly — no
+    # collective executes before both processes pass the barrier.
+    if pid != 0:
+        barrier("phnet-cache-warm", timeout_s=1500)
+
     cfg = tiny_cfg()
     # setup_training is deterministic: both processes build the identical
     # GLOBAL batch and initial params; each contributes rows [2p, 2p+2)
     model, state, step, frames, labels = setup_training(cfg, b=4, t=2, seed=3)
 
     mesh = make_mesh(4, model_parallel=1)
-    warm_collectives(mesh)
     state = state.replace(
         params=replicate_tree(mesh, state.params),
         batch_stats=replicate_tree(mesh, state.batch_stats),
@@ -64,11 +86,14 @@ def main():
     assert gf.shape == (4, 2, cfg.img_h, cfg.img_w, 3), gf.shape
 
     jstep = jax.jit(step)
-    # compile ahead-of-time on every process, THEN re-align at a
-    # coordination-service barrier: the gloo context rendezvous (30 s)
-    # must not race the minutes-scale compile skew (multihost.barrier doc)
     rng0 = global_key(mesh, jax.random.key(0))
     jstep.lower(state, gf, gl, rng0).compile()
+
+    if pid == 0:
+        barrier("phnet-cache-warm", timeout_s=1500)
+    # first collective ever: establish the gloo contexts in lockstep
+    # (warm_collectives compiles, re-aligns at its own barrier, executes)
+    warm_collectives(mesh)
     barrier("phnet-test-compiled")
     losses = []
     for i in range(2):

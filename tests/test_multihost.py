@@ -34,7 +34,8 @@ def _free_port():
     return port
 
 
-def test_two_process_training_matches_single(tmp_path):
+def _run_cluster(tmp_path, attempt):
+    """Launch the 2-process cluster once; returns (ok, outs, logs)."""
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "_multihost_worker.py")
     port = _free_port()
@@ -45,7 +46,7 @@ def test_two_process_training_matches_single(tmp_path):
 
     procs, outs = [], []
     for pid in range(2):
-        out = str(tmp_path / f"proc{pid}.json")
+        out = str(tmp_path / f"attempt{attempt}_proc{pid}.json")
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, worker, str(pid), str(port), out],
@@ -54,14 +55,26 @@ def test_two_process_training_matches_single(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=900)
+            stdout, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         logs.append(stdout.decode(errors="replace"))
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, log[-4000:]
+    ok = all(p.returncode == 0 for p in procs)
+    return ok, outs, logs
+
+
+def test_two_process_training_matches_single(tmp_path):
+    # gloo's per-group rendezvous has a hard ~30 s timeout; on a loaded CI
+    # box a descheduled worker can lose that race even with the
+    # warm_collectives/barrier mitigations, so allow one clean retry
+    # before declaring failure.
+    ok, outs, logs = _run_cluster(tmp_path, 0)
+    if not ok and any("Gloo" in log or "DEADLINE_EXCEEDED" in log
+                      for log in logs):
+        ok, outs, logs = _run_cluster(tmp_path, 1)
+    assert ok, logs[0][-2000:] + "\n=====\n" + logs[1][-2000:]
 
     results = [json.load(open(o)) for o in outs]
     l0, l1 = results[0]["losses"], results[1]["losses"]
