@@ -76,7 +76,9 @@ class DynamicConv(nn.Module):
     out_expand: int = 6
     out_dim: int = 0  # 0 -> hidden_dim (V1); V2 uses reg_hidden_dim
     out_hidden: int = 0  # 0 -> hidden_dim * out_expand
-    pro_dim: int = 0  # proposal-embedding dim; 0 -> hidden_dim
+    pro_dim: int = 0  # proposal-embedding dim; 0 -> out_dim (V2: the
+    # reference's dynamic_layer_1 is Linear(outplanes, ...),
+    # dynamic_head.py:72) which degrades to hidden_dim in V1
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -86,7 +88,7 @@ class DynamicConv(nn.Module):
         hid = num_params // self.param_reduction
         out_dim = self.out_dim or c
         out_hidden = self.out_hidden or c * self.out_expand
-        pro_dim = self.pro_dim or c
+        pro_dim = self.pro_dim or out_dim
 
         self.g1a = _dense_param(self, "gen1_a", pro_dim, hid)
         self.g1b = _dense_param(self, "gen1_b", hid, num_params)
