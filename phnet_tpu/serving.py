@@ -1,8 +1,9 @@
 """Multi-stream online serving wrapper.
 
-Production deployment runs many camera streams per chip. Single-stream
-streaming saturates at ~628 fps while batch=4 reaches ~920 fps aggregate
-on a v5e (B=8: ~878 — B=4 is the knee) — so the server packs up to
+Production deployment runs many camera streams per chip. A single stream
+ticks at ~1.9 ms (~515 fps) while batching raises aggregate throughput to
+~822 fps at B=4 and ~943 fps at B=8 on a v5e (device-resident inputs,
+measured post round-2 optimization) — so the server packs up to
 ``max_streams`` live videos into one batched jitted step and keeps a
 per-stream temporal memory slot (the fixed-shape ring buffer makes
 per-stream reset a pure masked write: no recompilation when streams
@@ -91,8 +92,9 @@ class StreamingServer:
 
         Returns (kept, valid) device arrays; pass them (later) to
         :meth:`decode` so callers can pipeline ticks. The jitted step
-        itself runs ~10 ms for 4 full-res streams on a v5e (measured with
-        device-resident inputs); note that the development environment's
+        itself runs ~4.9 ms for 4 full-res streams (~8.5 ms for 8) on a
+        v5e with device-resident inputs; note that the development
+        environment's
         remote-TPU tunnel serializes host transfers per call, so
         per-tick wall latency there is RTT-bound and not representative
         of a locally attached chip.
