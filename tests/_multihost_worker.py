@@ -85,9 +85,11 @@ def main():
     gl = global_batch(mesh, local_l)
     assert gf.shape == (4, 2, cfg.img_h, cfg.img_w, 3), gf.shape
 
-    jstep = jax.jit(step)
+    # keep the AOT executable: lower().compile() does not populate the jit
+    # dispatch cache, so calling the jit wrapper later would re-trace and
+    # re-load from the persistent cache AFTER the alignment point
     rng0 = global_key(mesh, jax.random.key(0))
-    jstep.lower(state, gf, gl, rng0).compile()
+    jstep = jax.jit(step).lower(state, gf, gl, rng0).compile()
 
     if pid == 0:
         barrier("phnet-cache-warm", timeout_s=1500)
