@@ -29,6 +29,40 @@ from .transforms import Normalize, TrainAugment, resize_with_lanes
 MAX_TRAINING_SKIP = 1
 
 
+def _jpeg_dims(path: str):
+    """(h, w) from the JPEG SOF header without decoding any pixels.
+
+    The native fast path only needs the source dimensions for lane
+    scaling; a full cv2 decode of the first frame just to read ``.shape``
+    would cost one redundant JPEG decode per clip. Falls back to cv2 on
+    anything unparseable."""
+    try:
+        with open(path, "rb") as f:
+            if f.read(2) != b"\xff\xd8":
+                raise ValueError("not a JPEG")
+            while True:
+                byte = f.read(1)
+                if not byte:
+                    raise ValueError("no SOF marker")
+                if byte != b"\xff":
+                    continue
+                marker = f.read(1)
+                while marker == b"\xff":  # fill bytes
+                    marker = f.read(1)
+                m = marker[0]
+                if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                    seg = f.read(7)  # len(2) precision(1) h(2) w(2)
+                    return (int.from_bytes(seg[3:5], "big"),
+                            int.from_bytes(seg[5:7], "big"))
+                if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                    continue  # no-length markers
+                seg_len = int.from_bytes(f.read(2), "big")
+                f.seek(seg_len - 2, os.SEEK_CUR)
+    except Exception:
+        img = cv2.imread(path)
+        return img.shape[:2]
+
+
 class OpenLaneDataset:
     def __init__(
         self,
@@ -113,9 +147,8 @@ class OpenLaneDataset:
         if self.native_decode and not use_aug:
             from .native_loader import decode_clip
 
-            probe = cv2.imread(
+            nat_h, nat_w = _jpeg_dims(
                 os.path.join(self.img_root, vid, sample_frames[0] + ".jpg"))
-            nat_h, nat_w = probe.shape[:2]
             native_frames = decode_clip(
                 [os.path.join(self.img_root, vid, n + ".jpg")
                  for n in sample_frames],

@@ -235,8 +235,13 @@ class VIL100Dataset:
             points.append(lanes)
             if seg is not None:
                 segs.append(seg)
-            if flow is not None:
-                flows.append(flow)
+            if self.load_flow:
+                # keep flows frame-aligned with imgs even when a frame's
+                # quantized flow jpgs are missing/corrupt: zero flow (= no
+                # motion) rather than silently dropping the row and
+                # shifting every later frame's flow by one
+                flows.append(flow if flow is not None else np.zeros(
+                    (self.cfg.img_h, self.cfg.img_w, 2), np.float32))
 
         out = {
             "name": vid,

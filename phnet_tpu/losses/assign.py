@@ -16,7 +16,7 @@ Also provides the SimOTA-style ``dynamic_k_assign`` fast path
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,20 @@ def line_iou_aligned(pred_xs: jnp.ndarray, target_xs: jnp.ndarray,
     return ovr.sum(-1) / (union.sum(-1) + 1e-9)
 
 
+def _lane_widths(xs: jnp.ndarray, dy: float, img_w: int, lane_width: float,
+                 max_dx: Optional[float] = None) -> jnp.ndarray:
+    """Slope-adaptive virtual half-widths per row (CLRerNet
+    ``_calc_lane_width``, ``dynamic_assignV2.py:68-90``). xs: [..., O]
+    relative coords; ``max_dx`` (px) zeroes dx spikes so padded -1e5
+    target rows stay finite. Shared by the aligned and pairwise LaneIoU
+    paths — the width convention must never drift between them."""
+    dx = (xs[..., 2:] - xs[..., :-2]) * img_w
+    if max_dx is not None:
+        dx = jnp.where(jnp.abs(dx) > max_dx, 0.0, dx)
+    w = lane_width * jnp.sqrt(dx**2 + dy**2) / dy
+    return jnp.concatenate([w[..., :1], w, w[..., -1:]], axis=-1)
+
+
 def lane_iou_aligned(pred_xs: jnp.ndarray, target_xs: jnp.ndarray,
                      img_h: int, img_w: int,
                      lane_width: float = 7.5 / 768.0,
@@ -70,15 +84,8 @@ def lane_iou_aligned(pred_xs: jnp.ndarray, target_xs: jnp.ndarray,
     n_strips = pred_xs.shape[-1] - 1
     dy = img_h / n_strips * 2.0
 
-    def widths(xs, clamp):
-        dx = (xs[..., 2:] - xs[..., :-2]) * img_w
-        if clamp:
-            dx = jnp.where(jnp.abs(dx) > max_dx, 0.0, dx)
-        w = lane_width * jnp.sqrt(dx**2 + dy**2) / dy
-        return jnp.concatenate([w[..., :1], w, w[..., -1:]], axis=-1)
-
-    pw = widths(jax.lax.stop_gradient(pred_xs), clamp=False)
-    tw = widths(target_xs, clamp=True)
+    pw = _lane_widths(jax.lax.stop_gradient(pred_xs), dy, img_w, lane_width)
+    tw = _lane_widths(target_xs, dy, img_w, lane_width, max_dx=max_dx)
     px1, px2 = pred_xs - pw, pred_xs + pw
     tx1, tx2 = target_xs - tw, target_xs + tw
     ovr = jnp.minimum(px2, tx2) - jnp.maximum(px1, tx1)
@@ -256,15 +263,10 @@ def lane_iou_cost_pairwise(
     n_offsets = pred_xs.shape[-1]
     dy = img_h / (n_offsets - 1) * 2.0
 
-    def widths(xs, clamp):
-        dx = (xs[..., 2:] - xs[..., :-2]) * img_w
-        if clamp:
-            dx = jnp.where(jnp.abs(dx) > max_dx, 0.0, dx)
-        w = lane_width * jnp.sqrt(dx**2 + dy**2) / dy
-        return jnp.concatenate([w[..., :1], w, w[..., -1:]], axis=-1)
-
-    pw = widths(jax.lax.stop_gradient(pred_xs), clamp=False)  # [A, O]
-    tw = widths(target_xs, clamp=True)  # [L, O]
+    pw = _lane_widths(jax.lax.stop_gradient(pred_xs), dy, img_w,
+                      lane_width)  # [A, O]
+    tw = _lane_widths(target_xs, dy, img_w, lane_width,
+                      max_dx=max_dx)  # [L, O]
     px1, px2 = pred_xs - pw, pred_xs + pw
     tx1, tx2 = target_xs - tw, target_xs + tw
     ovr = jnp.minimum(px2[:, None], tx2[None]) - jnp.maximum(

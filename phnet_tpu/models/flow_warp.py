@@ -11,11 +11,11 @@ Active forward path (``DFF.py:119-135``): ``flow_warp`` samples the last
 feature map at ``base_grid + flow`` with
 ``grid_sample(align_corners=True, padding_mode='zeros')``, then
 ``residual_block`` fuses ``concat([curr, warped])`` through a 1x1 conv +
-frozen BN + ReLU. The flow-*generation* layers (``conv_l``/``conv_c``/
-``flow_make``/``flow_bn``) are declared for checkpoint-shape parity but,
-exactly as in the reference's forward, unused (``generate_flow`` is
-commented out at ``:131``; flow arrives precomputed — ours comes from
-``data/flow.py``'s Farneback fields).
+frozen BN + ReLU. The reference also declares flow-*generation* layers
+(``conv_l``/``conv_c``/``flow_make``/``flow_bn``) that its forward never
+uses (``generate_flow`` is commented out at ``:131``); this port does NOT
+declare them (see :class:`WarpModel`) — flow arrives precomputed, ours
+from ``data/flow.py``'s Farneback fields.
 """
 
 from __future__ import annotations

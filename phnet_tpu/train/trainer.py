@@ -43,6 +43,9 @@ def train(
 ):
     tcfg = cfg.train
     epochs = epochs or tcfg.epochs
+    # programmatic callers (not just the CLI entries) get warm restarts too
+    from ..utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     model = PHNet(cfg.model)
     criterion = LaneCriterion(cfg.model, tcfg.loss)
     # per-iteration cosine over the full run (reference:
@@ -89,7 +92,9 @@ def train(
             )
         bsh = batch_sharding(mesh)
 
-    step_fn = jax.jit(make_train_step(model, criterion, tx))
+    step_fn = jax.jit(make_train_step(
+        model, criterion, tx, accum_steps=tcfg.accum_steps))
+    step_call = step_fn  # swapped for the AOT executable on multihost
     logger = TextLogger(f"{workdir}/log.txt")
     logger.set_items(["Epoch", "LR", "TrainLoss"])
 
@@ -102,29 +107,33 @@ def train(
         t_end = time.time()
         for it, batch in enumerate(loader):
             data_meter.update(time.time() - t_end)
-            frames = jnp.asarray(batch["frames"])
-            labels = jnp.asarray(batch["labels"])
-            if mesh is not None:
-                if multihost:
-                    # the loader yields this process's batch shard; stitch
-                    # the global array across hosts (no host materializes
-                    # the full batch)
-                    frames = global_batch(mesh, np.asarray(batch["frames"]))
-                    labels = global_batch(mesh, np.asarray(batch["labels"]))
-                else:
-                    frames = jax.device_put(frames, bsh)
-                    labels = jax.device_put(labels, bsh)
+            if mesh is not None and multihost:
+                # the loader yields this process's batch shard; stitch
+                # the global array across hosts (no host materializes
+                # the full batch)
+                frames = global_batch(mesh, np.asarray(batch["frames"]))
+                labels = global_batch(mesh, np.asarray(batch["labels"]))
+            elif mesh is not None:
+                frames = jax.device_put(batch["frames"], bsh)
+                labels = jax.device_put(batch["labels"], bsh)
+            else:
+                frames = jnp.asarray(batch["frames"])
+                labels = jnp.asarray(batch["labels"])
             rng = jax.random.fold_in(jax.random.key(tcfg.seed), int(state.step))
             if mesh is not None and multihost:
-                from ..parallel.multihost import barrier, global_key
+                from ..parallel.multihost import global_key, warm_collectives
                 rng = global_key(mesh, rng)
                 if epoch == start_epoch and it == 0:
-                    # compile on all processes, then re-align before the
-                    # first execution so the collective-fabric context
-                    # rendezvous doesn't race compile skew
-                    step_fn.lower(state, frames, labels, rng).compile()
-                    barrier("phnet-train-compiled")
-            state, metrics = step_fn(state, frames, labels, rng)
+                    # AOT-compile and keep the executable (lower().compile()
+                    # does NOT populate the jit dispatch cache — discarding
+                    # it would re-compile after the alignment point), then
+                    # establish the collective-fabric contexts in lockstep
+                    # (warm_collectives compiles its warm program, re-aligns
+                    # every process at a coordination barrier, executes)
+                    step_call = step_fn.lower(
+                        state, frames, labels, rng).compile()
+                    warm_collectives(mesh)
+            state, metrics = step_call(state, frames, labels, rng)
             loss = float(metrics["loss"])
             assert np.isfinite(loss), "Loss is NaN!"
             meter.update(loss)

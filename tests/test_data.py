@@ -386,3 +386,50 @@ def test_clip_loader_sharding(vil_tree):
     assert batch["frames"].shape == (1, 2, 96, 192, 3)
     assert batch["labels"].shape == (1, 2, 8, spec.dim)
     assert "name" in batch["infos"][0]
+
+
+def test_vil_flow_missing_frame_stays_aligned(vil_tree):
+    """A frame whose flow jpgs are missing gets zero flow instead of being
+    dropped — dropping would shift every later frame's flow row off its
+    image (silent misalignment under load_flow=True)."""
+    root, (ori_h, ori_w) = vil_tree
+    vid = "1_Road002_Trim002"  # the test-split video (whole-video read)
+    fdir = os.path.join(root, "VIL100", "Flow", vid)
+    os.makedirs(fdir, exist_ok=True)
+    # flow for frames 0 and 2 only; frames 1 and 3 have no flow jpgs
+    for i in (0, 2):
+        name = f"{i:05d}"
+        cv2.imwrite(os.path.join(fdir, name + "u.jpg"),
+                    np.full((ori_h, ori_w), 200, np.uint8))
+        cv2.imwrite(os.path.join(fdir, name + "v.jpg"),
+                    np.full((ori_h, ori_w), 200, np.uint8))
+
+    cfg = DataConfig(root=root, img_h=96, img_w=192, cut_scale=0.35,
+                     max_lanes=8)
+    spec = LaneSpec(36, 2)
+    ds = VIL100Dataset(cfg, spec, train=False, load_flow=True)
+    clip = ds[0]  # test split: whole video, all 4 frames in order
+    # all frames present and aligned: 0 and 2 carry real flow, 1/3 zero
+    assert clip["flow"].shape[0] == clip["frames"].shape[0] == 4
+    assert np.abs(clip["flow"][0]).max() > 0
+    assert np.abs(clip["flow"][2]).max() > 0
+    np.testing.assert_array_equal(clip["flow"][1], 0.0)
+    np.testing.assert_array_equal(clip["flow"][3], 0.0)
+
+
+def test_openlane_jpeg_dims(tmp_path):
+    """_jpeg_dims reads (h, w) from the SOF header without decoding, for
+    plain and progressive JPEGs, and falls back to cv2 on non-JPEG data."""
+    from phnet_tpu.data.openlane import _jpeg_dims
+
+    img = np.random.default_rng(0).integers(
+        0, 255, size=(123, 217, 3)).astype(np.uint8)
+    p1 = str(tmp_path / "plain.jpg")
+    cv2.imwrite(p1, img)
+    assert _jpeg_dims(p1) == (123, 217)
+    p2 = str(tmp_path / "prog.jpg")
+    cv2.imwrite(p2, img, [cv2.IMWRITE_JPEG_PROGRESSIVE, 1])
+    assert _jpeg_dims(p2) == (123, 217)
+    p3 = str(tmp_path / "actually.png")
+    cv2.imwrite(p3, img[:50, :60])
+    assert _jpeg_dims(p3) == (50, 60)  # cv2 fallback
