@@ -279,6 +279,7 @@ class TrainConfig:
     epoch_per_test: int = 5
     seed: int = 3407
     grad_clip_norm: float = 0.0  # 0 = off (reference has it commented out)
+    accum_steps: int = 1  # micro-batches per optimizer update (see step.py)
     checkpoint_dir: str = "models"
     loss: LossConfig = field(default_factory=LossConfig)
 

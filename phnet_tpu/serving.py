@@ -25,7 +25,7 @@ import numpy as np
 from .config import Config
 from .geometry import Lane, decode_predictions
 from .models import PHNet
-from .models.phnet import MemoryState, init_memory
+from .models.phnet import init_memory
 
 
 class StreamingServer:
@@ -37,17 +37,38 @@ class StreamingServer:
         variables,
         max_streams: int = 4,
         memory_window: Optional[int] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — streams are sharded
+        over the ``data`` axis (params replicated), scaling aggregate
+        serving throughput across chips with zero model change; each
+        chip serves ``max_streams / data`` streams and the per-stream
+        memory rides the same sharding, so attach/detach stays a masked
+        write. The TPU-native answer to "more cameras": add chips to the
+        mesh, not model surgery."""
         self.cfg = cfg
         self.mcfg = cfg.model
         self.model = PHNet(self.mcfg)
-        self.variables = variables
         self.max_streams = max_streams
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import batch_sharding, replicate_sharding
+
+            data_size = mesh.shape[mesh.axis_names[0]]
+            if max_streams % data_size:
+                raise ValueError(
+                    f"max_streams={max_streams} must be divisible by the "
+                    f"mesh data axis ({data_size})")
+            self._bsh = batch_sharding(mesh)
+            self._rep = replicate_sharding(mesh)
+            variables = jax.device_put(variables, self._rep)
+        self.variables = variables
         window = memory_window or (
             self.mcfg.memory.window if self.mcfg.memory.window > 0 else 64
         )
         self.window = window
-        self.memory = init_memory(self.mcfg, max_streams, window)
+        self.memory = self._put_batched(
+            init_memory(self.mcfg, max_streams, window))
         self.active = np.zeros(max_streams, bool)
         # original-image decode geometry per stream
         self.stream_geo: List[Tuple[int, int]] = [(0, 0)] * max_streams
@@ -59,6 +80,18 @@ class StreamingServer:
             return outs.kept[0], outs.kept_valid[0], mem
 
         self._step = jax.jit(step, donate_argnums=(2,))
+
+    def _put_batched(self, tree):
+        """Place a stream-batched pytree: leading-axis leaves sharded over
+        the data axis, scalars (the ring counter) replicated. No mesh:
+        default device placement."""
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                jnp.asarray(x),
+                self._bsh if jnp.ndim(x) else self._rep),
+            tree)
 
     # ------------------------------------------------------------------
     def attach(self, ori_img_h: int = 0, cut_height: int = 0) -> int:
@@ -80,11 +113,17 @@ class StreamingServer:
     def _clear_slot(self, sid: int):
         mask = np.array(self.memory.mask)
         mask[sid] = False
-        self.memory = MemoryState(
-            values=self.memory.values,
-            mask=jnp.asarray(mask),
-            t=self.memory.t,
-        )
+        if self.mesh is not None:
+            # keep the mask on its data-axis sharding — a default-placed
+            # replacement would change the jitted step's input shardings
+            # and force a recompile
+            new_mask = jax.device_put(mask, self._bsh)
+        else:
+            new_mask = jnp.asarray(mask)
+        # _replace keeps this working for both memory layouts (ring-buffer
+        # MemoryState and the V3 prior-propagation carry): each keys slot
+        # validity on a leading-stream-dim `mask`
+        self.memory = self.memory._replace(mask=new_mask)
 
     # ------------------------------------------------------------------
     def step_async(self, frames: Dict[int, np.ndarray]):
@@ -105,8 +144,12 @@ class StreamingServer:
         for sid, frame in frames.items():
             assert self.active[sid], f"stream {sid} not attached"
             batch[sid, 0] = frame
+        if self.mesh is not None:
+            batch = jax.device_put(batch, self._bsh)
+        else:
+            batch = jnp.asarray(batch)
         kept, valid, self.memory = self._step(
-            self.variables, jnp.asarray(batch), self.memory)
+            self.variables, batch, self.memory)
         return kept, valid, list(frames.keys())
 
     def decode(self, kept, valid, sids) -> Dict[int, List[Lane]]:

@@ -81,3 +81,44 @@ def test_streaming_server_matches_pipeline(server_setup):
         assert len(lanes_s) == len(lanes_w)
         for a, b in zip(lanes_s, lanes_w):
             np.testing.assert_allclose(a.points, b.points, atol=1e-4)
+
+
+def test_streaming_server_mesh_parity(server_setup):
+    """Streams sharded over a 4-wide data mesh == the unsharded server
+    (chip-scale request batching: the ROADMAP's multi-chip serving)."""
+    from phnet_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg, variables = server_setup
+    mcfg = cfg.model
+    clips = [
+        synthetic_clip(seed=20 + i, t=3, img_h=mcfg.img_h, img_w=mcfg.img_w,
+                       spec=mcfg.lane, max_lanes=mcfg.max_lanes)
+        for i in range(4)
+    ]
+
+    mesh = make_mesh(4, model_parallel=1)
+    plain = StreamingServer(cfg, variables, max_streams=4, memory_window=4)
+    shard = StreamingServer(cfg, variables, max_streams=4, memory_window=4,
+                            mesh=mesh)
+    with pytest.raises(ValueError):
+        StreamingServer(cfg, variables, max_streams=3, memory_window=4,
+                        mesh=mesh)
+
+    sids = [plain.attach() for _ in range(4)]
+    assert [shard.attach() for _ in range(4)] == sids
+    for t in range(3):
+        frame = {s: clips[s]["frames"][t] for s in sids}
+        out_p = plain.step(dict(frame))
+        out_s = shard.step(dict(frame))
+        for s in sids:
+            assert len(out_p[s]) == len(out_s[s])
+            for a, b in zip(out_p[s], out_s[s]):
+                np.testing.assert_allclose(a.points, b.points, atol=1e-4)
+
+    # detach on the sharded server keeps the mask's sharding (no recompile)
+    shard.detach(sids[1])
+    assert not np.array(shard.memory.mask)[sids[1]].any()
+    out = shard.step({sids[0]: clips[0]["frames"][0]})
+    assert sids[0] in out

@@ -163,3 +163,37 @@ def test_sharded_matches_single_device():
         jax.random.key(0))
     np.testing.assert_allclose(
         float(m_single["loss"]), float(m_shard["loss"]), rtol=2e-4)
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2 over B=2: one optimizer update on the micro-average.
+    The criterion is a batch mean, so the accumulated loss/grads equal the
+    full-batch step's up to BatchNorm forward statistics (which see the
+    micro-batch); dropout rngs differ per micro-batch, so compare with a
+    modest tolerance and assert the bookkeeping exactly."""
+    cfg = tiny_cfg()
+    model, state, step1, frames, labels = setup_training(cfg, b=2, t=2)
+    tcfg = TrainConfig(loss=LossConfig(style="blend_all"))
+    criterion = LaneCriterion(cfg, tcfg.loss)
+    tx = build_optimizer(tcfg, total_steps=1000)
+    step2 = make_train_step(model, criterion, tx, accum_steps=2)
+
+    s_full, m_full = jax.jit(step1)(state, frames, labels, jax.random.key(9))
+    s_acc, m_acc = jax.jit(step2)(state, frames, labels, jax.random.key(9))
+
+    assert int(s_acc.step) == int(s_full.step) == int(state.step) + 1
+    np.testing.assert_allclose(
+        float(m_acc["loss"]), float(m_full["loss"]), rtol=0.05)
+    # one update applied, comparable magnitude
+    d_full = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_full.params, state.params)
+    d_acc = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_acc.params, state.params)
+    assert max(jax.tree_util.tree_leaves(d_acc)) > 0
+    np.testing.assert_allclose(
+        float(m_acc["grad_norm"]), float(m_full["grad_norm"]), rtol=0.25)
+
+    # indivisible batch is an explicit error
+    with pytest.raises(ValueError):
+        make_train_step(model, criterion, tx, accum_steps=3)(
+            state, frames, labels, jax.random.key(0))

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--init", default=None)
     ap.add_argument("--no-mesh", action="store_true")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="micro-batches per optimizer update (simulate the "
+                         "reference's 4-process global batch on one chip)")
     ap.add_argument("--fp32", action="store_true",
                     help="disable bf16 compute (reference trains with amp; "
                          "bf16 is the TPU equivalent and ~1.3x faster)")
@@ -71,6 +74,9 @@ def main():
     if args.epochs:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    if args.accum > 1:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, accum_steps=args.accum))
     frames = args.frames or cfg.train.sampled_frames
 
     n_dev = len(jax.devices())
