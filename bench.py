@@ -21,6 +21,7 @@ ride along as additional keys.
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -30,9 +31,48 @@ import numpy as np
 
 V5E_BF16_PEAK = 197e12
 
+# The axon tunnel to the real chip sporadically hangs for minutes (even a
+# trivial matmul blocks, see utils/profiler.py). A hang inside the one
+# measurement run the driver makes would record nothing — so the parent
+# process re-execs itself as a timed child and retries a stalled/crashed
+# attempt. The child prints the usual single JSON line; the parent forwards
+# the first successful one.
+_CHILD_ENV = "PHNET_BENCH_CHILD"
+_ATTEMPT_TIMEOUT_S = int(os.environ.get("PHNET_BENCH_TIMEOUT", "2400"))
+_ATTEMPTS = int(os.environ.get("PHNET_BENCH_ATTEMPTS", "3"))
+
+
+def _supervise() -> int:
+    env = dict(os.environ, **{_CHILD_ENV: "1"})
+    for attempt in range(_ATTEMPTS):
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, timeout=_ATTEMPT_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1} timed out after "
+                  f"{_ATTEMPT_TIMEOUT_S}s (tunnel stall?), retrying",
+                  file=sys.stderr)
+            continue
+        out = res.stdout.decode()
+        line = next((ln for ln in out.splitlines()
+                     if ln.startswith("{") and '"metric"' in ln), None)
+        if res.returncode == 0 and line:
+            print(line)
+            return 0
+        print(f"bench attempt {attempt + 1} failed rc={res.returncode}\n"
+              f"{out[-2000:]}", file=sys.stderr)
+    return 1
+
 
 def main():
     import jax
+
+    if os.environ.get("PHNET_BENCH_CPU"):
+        # smoke-test the bench protocol without a TPU; the env var
+        # JAX_PLATFORMS is overridden by the environment's sitecustomize,
+        # so the platform must be forced on jax.config before first use
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from phnet_tpu.utils.cache import enable_persistent_cache
@@ -219,4 +259,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get(_CHILD_ENV):
+        main()
+    else:
+        sys.exit(_supervise())

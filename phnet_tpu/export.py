@@ -1,0 +1,167 @@
+"""AOT deployment artifacts: serialize the jitted inference step.
+
+Production serving should not need the model-building Python (flax module
+tree, config dataclasses, weight init) on the serving host — the reference
+ships ``.pth.tar`` checkpoints that still require the whole ``libs/``
+package to run (``testVIL.py:41-61``). Here the deployable unit is the
+*compiled program*: ``jax.export`` serializes the traced+lowered StableHLO
+of the streaming inference step, and the artifact directory carries the
+weights and the initial temporal-memory buffers alongside it:
+
+    <dir>/
+      step.jaxexport   serialized Exported (StableHLO + in/out treedefs)
+      params.npz       flattened model variables ('/'-joined paths)
+      memory.npz       initial memory arrays (ring buffer or V3 carry)
+      manifest.json    shapes, lane-spec decode constants, jax version
+
+``load_deployed(dir)`` reconstructs a ticking server from those files
+alone — no PHNet / flax import, no re-trace, no weight-init code path; the
+XLA compile of the StableHLO payload is the only startup cost. The
+exported step is platform-checked by jax.export (an artifact exported on
+TPU refuses to run on CPU and vice versa), so export on the deployment
+platform or pass ``platforms=('tpu', 'cpu')`` to cover both.
+
+All pytree arguments cross the serialization boundary as plain
+tuples/dicts of arrays (the memory NamedTuple is decomposed), so loading
+never needs this package's pytree classes registered.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+from jax import export as jax_export
+
+from .config import ModelConfig
+from .models import PHNet
+from .models.phnet import MemoryState, V3MemoryState, init_memory
+
+_MANIFEST = "manifest.json"
+_STEP = "step.jaxexport"
+_PARAMS = "params.npz"
+_MEMORY = "memory.npz"
+
+
+def _flatten_vars(variables) -> Dict[str, np.ndarray]:
+    flat = traverse_util.flatten_dict(jax.device_get(variables), sep="/")
+    return {k: np.asarray(v) for k, v in flat.items()}
+
+
+def _unflatten_vars(flat: Dict[str, np.ndarray]):
+    return traverse_util.unflatten_dict(dict(flat), sep="/")
+
+
+def export_serving_step(
+    cfg: ModelConfig,
+    variables,
+    out_dir: str,
+    batch: int = 1,
+    memory_window: Optional[int] = None,
+    platforms: Optional[Tuple[str, ...]] = None,
+) -> str:
+    """Serialize the batched streaming tick to ``out_dir``.
+
+    The exported callable is
+    ``(variables, frames[batch,1,H,W,3], *memory) -> (kept, valid, num_kept,
+    *new_memory)`` — one frame per stream per call, memory carried by the
+    caller exactly as :class:`~phnet_tpu.serving.StreamingServer` does.
+
+    ``platforms``: lowering platforms for the artifact (default: the
+    current backend). Pass ``("tpu", "cpu")`` to produce one artifact
+    that runs on both.
+    """
+    model = PHNet(cfg)
+    window = memory_window or (cfg.memory.window if cfg.memory.window > 0
+                               else 64)
+    mem0 = init_memory(cfg, batch, window)
+    mem_cls = type(mem0)
+
+    def step(variables, frames, *mem_leaves):
+        mem = mem_cls(*mem_leaves)
+        outs, new_mem = model.apply(
+            variables, frames, None, train=False, initial_memory=mem)
+        return (outs.kept[0], outs.kept_valid[0], outs.num_kept[0],
+                *tuple(new_mem))
+
+    frames_spec = jax.ShapeDtypeStruct(
+        (batch, 1, cfg.img_h, cfg.img_w, 3), jnp.float32)
+    var_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        jax.device_get(variables))
+    mem_specs = tuple(
+        jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+        for x in tuple(mem0))
+
+    kwargs = {"platforms": platforms} if platforms else {}
+    exported = jax_export.export(jax.jit(step), **kwargs)(
+        var_spec, frames_spec, *mem_specs)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _STEP), "wb") as f:
+        f.write(exported.serialize())
+    np.savez(os.path.join(out_dir, _PARAMS), **_flatten_vars(variables))
+    np.savez(os.path.join(out_dir, _MEMORY),
+             **{f"m{i}": np.asarray(x) for i, x in enumerate(tuple(mem0))})
+    spec = cfg.lane
+    manifest = {
+        "kind": "serving_step",
+        "jax_version": jax.__version__,
+        "batch": batch,
+        "memory_window": window,
+        "memory_class": mem_cls.__name__,
+        "img_h": cfg.img_h,
+        "img_w": cfg.img_w,
+        "platforms": list(platforms) if platforms else None,
+        # decode constants so a loader can rebuild Lane points without
+        # the config dataclasses
+        "lane_spec": dataclasses.asdict(spec),
+        "max_lanes": cfg.max_lanes,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
+class DeployedServer:
+    """Ticking server rebuilt from an exported artifact directory.
+
+    Mirrors :class:`~phnet_tpu.serving.StreamingServer`'s tick semantics
+    (same kept/valid outputs, caller-visible memory carry) but executes
+    the deserialized StableHLO — the PHNet module tree is never
+    constructed. Lane decoding stays available through
+    :func:`phnet_tpu.geometry.decode_predictions` on the returned rows.
+    """
+
+    def __init__(self, art_dir: str):
+        with open(os.path.join(art_dir, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        with open(os.path.join(art_dir, _STEP), "rb") as f:
+            self._exported = jax_export.deserialize(f.read())
+        with np.load(os.path.join(art_dir, _PARAMS)) as z:
+            self.variables = _unflatten_vars({k: z[k] for k in z.files})
+        with np.load(os.path.join(art_dir, _MEMORY)) as z:
+            self._mem0 = tuple(z[f"m{i}"] for i in range(len(z.files)))
+        self.memory = self._mem0
+        self.batch = int(self.manifest["batch"])
+
+    def reset(self):
+        self.memory = self._mem0
+
+    def tick(self, frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """frames: [batch, H, W, 3] float32 (one frame per stream).
+        Returns (kept [batch, K, dim], valid [batch, K]) as numpy; the
+        temporal memory advances internally."""
+        if frames.ndim == 3:
+            frames = frames[None]
+        frames = frames[:, None].astype(np.float32)
+        out = self._exported.call(self.variables, frames, *self.memory)
+        kept, valid, _num, *mem = out
+        self.memory = tuple(mem)
+        return np.asarray(kept), np.asarray(valid)
