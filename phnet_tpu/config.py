@@ -210,6 +210,10 @@ class ModelConfig:
     org_size: Optional[Tuple[int, int]] = None  # OL fixed (1280, 1920)
     # compute dtype for backbone/head matmuls ("bfloat16" or "float32")
     compute_dtype: str = "float32"
+    # inference-only quantization: "none" or "int8" — w8a8 dynamic int8 on
+    # the DynamicConv generator chains (the detect scan's FLOPs bulk),
+    # riding the MXU's double-rate s8 path; see ops/quant.py
+    quantize: str = "none"
     # NMS implementation: "auto" (pallas on TPU, pure-jax elsewhere),
     # "pallas", or "jax"
     nms_backend: str = "auto"

@@ -80,6 +80,8 @@ class DynamicConv(nn.Module):
     # reference's dynamic_layer_1 is Linear(outplanes, ...),
     # dynamic_head.py:72) which degrades to hidden_dim in V1
     dtype: jnp.dtype = jnp.float32
+    quantize: bool = False  # w8a8 dynamic int8 on the affine chains
+    # (ops/quant.py) — the MXU's double-rate path; inference-only
 
     def setup(self):
         c = self.hidden_dim
@@ -125,6 +127,18 @@ class DynamicConv(nn.Module):
         15x) while keeping the second generator factored
         (4608->1024->8192). ``pre`` supplies the collapsed (kernel, bias)
         computed outside the scan (see module docstring)."""
+        if self.quantize:
+            from ..ops.quant import int8_affine
+
+            if pre is not None:
+                w, b = pre
+                return int8_affine(x, w, b).astype(self.dtype)
+            if _collapse_wins(x.shape[-1], pa["kernel"].shape[1],
+                              pb["kernel"].shape[1]):
+                w, b = self._combine(pa, pb)
+                return int8_affine(x, w, b).astype(self.dtype)
+            y = int8_affine(x, pa["kernel"], pa["bias"])
+            return int8_affine(y, pb["kernel"], pb["bias"]).astype(self.dtype)
         if pre is not None:
             w, b = pre
             return x @ w.astype(self.dtype) + b.astype(self.dtype)

@@ -395,6 +395,11 @@ class PHNet(nn.Module):
         train: bool = False,
         initial_memory: Optional[MemoryState] = None,
     ):
+        if train and self.cfg.quantize != "none":
+            raise ValueError(
+                "quantize=%r is inference-only (round() has no useful "
+                "gradient); train with quantize='none' and enable int8 for "
+                "serving/eval" % (self.cfg.quantize,))
         feats = self.encode(frames, train=train)
         return self.detect(feats, labels, train=train,
                            initial_memory=initial_memory)

@@ -1,0 +1,75 @@
+"""Dynamic int8 quantization for the MXU's double-rate path.
+
+The v5e MXU runs s8xs8->s32 matmuls at 2x its bf16 FLOP rate (394 vs 197
+TOPS), and the detect scan's FLOPs are dominated by the DynamicConv
+generator chains (`models/dynamic_conv.py`; the second generator's
+[A,4608]@[4608,1024]@[1024,8192] pair measured at ~85% bf16 MFU — at
+roofline, so the only way further is a faster unit). This module provides
+*dynamic* (per-call) symmetric int8 quantization:
+
+- activations: per-row absmax scale (each anchor row quantized alone, so
+  one outlier anchor cannot crush the rest of the batch's resolution);
+- weights: per-output-column absmax scale;
+- accumulation in int32 on the MXU (``preferred_element_type``), rescaled
+  by the outer product of the two scale vectors.
+
+No calibration pass, no quantized checkpoint format: weights stay f32 in
+storage and are quantized in-graph (a [K,N] absmax+round is negligible
+next to the [A,K]@[K,N] matmul it feeds — and XLA fuses it into the
+operand's producer). Enable with ``ModelConfig.quantize="int8"``;
+inference-only (the round() has no useful gradient — training guards
+against it).
+
+LayerNorms after every generator matmul renormalize the quantization
+error, which is why the head tolerates w8a8 on these chains (verified by
+the quantized F1 gate in ``tests/test_e2e_quality.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def quantize_rowwise(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 over the last axis: returns (q [.., K] int8,
+    scale [.., 1] f32) with x ~= q * scale."""
+    scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, _EPS)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def quantize_colwise(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 per output column of a [K, N] kernel: returns
+    (q [K, N] int8, scale [N] f32)."""
+    scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    scale = jnp.maximum(scale, _EPS)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def int8_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """x [..., K] f32/bf16 @ w [K, N] f32 with dynamic w8a8: int8 MXU
+    matmul, int32 accumulation, f32 rescale. Returns [..., N] f32."""
+    xq, sx = quantize_rowwise(x.astype(jnp.float32))
+    wq, sw = quantize_colwise(w.astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        xq, wq,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * sx * sw
+
+
+def int8_affine(x: jnp.ndarray, kernel: jnp.ndarray,
+                bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Quantized ``x @ kernel + bias`` (bias stays f32)."""
+    y = int8_matmul(x, kernel)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--synthetic-videos", type=int, default=2)
     ap.add_argument("--synthetic-frames", type=int, default=8)
+    ap.add_argument("--int8", action="store_true",
+                    help="w8a8 dynamic int8 on the DynamicConv chains "
+                         "(MXU double-rate path; inference-only)")
     ap.add_argument(
         "--variant", choices=("single", "multiscale", "propagate"),
         default="single",
@@ -106,6 +109,10 @@ def main():
         state = mgr.restore_weights(state, os.path.basename(args.checkpoint))
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    if args.int8:
+        # inference-only: the training/init paths above stay f32
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
     pipe = InferencePipeline(
         cfg, variables, chunk=chunk,
         memory_window=cfg.model.memory.window,

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--train-first", type=int, default=0,
                     help="synthetic smoke: overfit N steps before testing")
     ap.add_argument("--evaluate", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="w8a8 dynamic int8 on the DynamicConv chains "
+                         "(MXU double-rate path; inference-only)")
     args = ap.parse_args()
 
     import dataclasses
@@ -115,6 +118,10 @@ def main():
                       flush=True)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    if args.int8:
+        # inference-only: the training/init paths above stay f32
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
     pipe = InferencePipeline(cfg, variables, chunk=chunk)
     stats = pipe.run_and_emit(
         dataset, args.pred_dir, args.anno_dir, fmt="vil", verbose=True)

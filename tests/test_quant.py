@@ -1,0 +1,81 @@
+"""Dynamic int8 quantization (ops/quant.py + DynamicConv wiring)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from phnet_tpu.models import PHNet
+from phnet_tpu.models.dynamic_conv import DynamicConv
+from phnet_tpu.ops.quant import (
+    int8_affine, int8_matmul, quantize_colwise, quantize_rowwise,
+)
+
+from test_model import tiny_cfg
+
+
+def test_quantize_roundtrip_bounds():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(32, 96)).astype(np.float32))
+    q, s = quantize_rowwise(x)
+    assert q.dtype == jnp.int8 and s.shape == (32, 1)
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(x))
+    # absmax symmetric: per-row error bounded by scale/2
+    assert (err <= np.asarray(s) / 2 + 1e-7).all()
+
+    w = jnp.asarray(rng.normal(size=(96, 48)).astype(np.float32))
+    qw, sw = quantize_colwise(w)
+    assert qw.dtype == jnp.int8 and sw.shape == (48,)
+    err = np.abs(np.asarray(qw, np.float32) * np.asarray(sw) - np.asarray(w))
+    assert (err <= np.asarray(sw)[None, :] / 2 + 1e-7).all()
+
+
+def test_int8_matmul_close_to_f32():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 240, 512)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(512, 256)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    ref = np.asarray(x @ w + b)
+    out = np.asarray(jax.jit(int8_affine)(x, w, b))
+    assert out.shape == ref.shape
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 1.5e-2, rel
+    # int32 accumulation: no overflow even for adversarial +-127 rows
+    x2 = jnp.ones((1, 8192)) * 10.0
+    w2 = jnp.ones((8192, 4)) * 10.0
+    out2 = np.asarray(int8_matmul(x2, w2))
+    np.testing.assert_allclose(out2, np.full((1, 4), 8192 * 100.0), rtol=1e-6)
+
+
+def test_quantized_dynamic_conv_close():
+    """Same params, quantize on/off: outputs stay close (the LayerNorms
+    after each chain renormalize the quantization error)."""
+    rng = np.random.default_rng(2)
+    pro = jnp.asarray(rng.normal(size=(1, 16, 24)).astype(np.float32))
+    roi = jnp.asarray(rng.normal(size=(1, 16, 8, 24)).astype(np.float32))
+    kw = dict(feat_size=8, hidden_dim=24, param_reduction=2)
+    m_f32 = DynamicConv(**kw)
+    m_int8 = DynamicConv(quantize=True, **kw)
+    variables = m_f32.init(jax.random.key(0), pro, roi)
+    a = np.asarray(m_f32.apply(variables, pro, roi))
+    b = np.asarray(m_int8.apply(variables, pro, roi))
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.05, rel
+
+
+def test_quantized_model_inference_and_train_guard():
+    import dataclasses
+
+    mcfg = dataclasses.replace(tiny_cfg(window=4), quantize="int8")
+    model = PHNet(mcfg)
+    frames = jnp.zeros((1, 2, mcfg.img_h, mcfg.img_w, 3))
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames)
+    outs, mem = model.apply(variables, frames, None, train=False)
+    assert np.asarray(outs.num_kept).shape == (2, 1)
+
+    labels = jnp.full((1, 2, mcfg.max_lanes, mcfg.lane.dim), -1e5)
+    with pytest.raises(ValueError, match="inference-only"):
+        model.apply(variables, frames, labels, train=True,
+                    rngs={"dropout": jax.random.key(1)}, mutable=["batch_stats"])

@@ -32,6 +32,9 @@ def main():
                     help="temporal memory window (default: preset)")
     ap.add_argument("--platforms", nargs="*", default=None,
                     help="lowering platforms, e.g. --platforms tpu cpu")
+    ap.add_argument("--int8", action="store_true",
+                    help="bake the w8a8 dynamic-int8 serving graph into "
+                         "the artifact (MXU double-rate path)")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +44,12 @@ def main():
     from phnet_tpu.export import export_serving_step
     from phnet_tpu.models import PHNet
 
+    import dataclasses
+
     cfg = vil100_config() if args.preset == "vil100" else openlane_config()
+    if args.int8:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
     model = PHNet(cfg.model)
     frames0 = jnp.zeros((1, 1, cfg.model.img_h, cfg.model.img_w, 3))
     variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
