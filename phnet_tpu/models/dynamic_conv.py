@@ -110,7 +110,30 @@ class DynamicConv(nn.Module):
 
     def combined_weights(self) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
         """Collapsed (kernel, bias) per chain where the collapse wins; the
-        caller evaluates this once OUTSIDE the temporal scan."""
+        caller evaluates this once OUTSIDE the temporal scan.
+
+        Quantized modules return a dict per chain instead, carrying the
+        PRE-QUANTIZED int8 kernels + scales for every chain (collapsed:
+        ``{"wq","sw","b"}``; factored: ``{"wq1","sw1","b1","wq2","sw2",
+        "b2"}``) — weight quantization is loop-invariant, so hoisting it
+        here leaves only the activation absmax inside the scan."""
+        if self.quantize:
+            from ..ops.quant import quantize_colwise
+
+            out = {}
+            for name, (pa, pb) in (("gen1", (self.g1a, self.g1b)),
+                                   ("gen2", (self.g2a, self.g2b)),
+                                   ("out", (self.oa, self.ob))):
+                if _collapse_wins(*pa["kernel"].shape, pb["kernel"].shape[1]):
+                    w, b = self._combine(pa, pb)
+                    wq, sw = quantize_colwise(w)
+                    out[name] = {"wq": wq, "sw": sw, "b": b}
+                else:
+                    wq1, sw1 = quantize_colwise(pa["kernel"])
+                    wq2, sw2 = quantize_colwise(pb["kernel"])
+                    out[name] = {"wq1": wq1, "sw1": sw1, "b1": pa["bias"],
+                                 "wq2": wq2, "sw2": sw2, "b2": pb["bias"]}
+            return out
         out = {}
         if _collapse_wins(*self.g1a["kernel"].shape, self.g1b["kernel"].shape[1]):
             out["gen1"] = self._combine(self.g1a, self.g1b)
@@ -128,11 +151,15 @@ class DynamicConv(nn.Module):
         (4608->1024->8192). ``pre`` supplies the collapsed (kernel, bias)
         computed outside the scan (see module docstring)."""
         if self.quantize:
-            from ..ops.quant import int8_affine
+            from ..ops.quant import int8_affine, int8_matmul_prequant
 
-            if pre is not None:
-                w, b = pre
-                return int8_affine(x, w, b).astype(self.dtype)
+            if pre is not None and "wq" in pre:  # hoisted, collapsed
+                return (int8_matmul_prequant(x, pre["wq"], pre["sw"])
+                        + pre["b"]).astype(self.dtype)
+            if pre is not None:  # hoisted, factored
+                y = int8_matmul_prequant(x, pre["wq1"], pre["sw1"]) + pre["b1"]
+                return (int8_matmul_prequant(y, pre["wq2"], pre["sw2"])
+                        + pre["b2"]).astype(self.dtype)
             if _collapse_wins(x.shape[-1], pa["kernel"].shape[1],
                               pb["kernel"].shape[1]):
                 w, b = self._combine(pa, pb)

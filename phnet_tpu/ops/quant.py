@@ -53,17 +53,27 @@ def quantize_colwise(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale.astype(jnp.float32)
 
 
-def int8_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """x [..., K] f32/bf16 @ w [K, N] f32 with dynamic w8a8: int8 MXU
-    matmul, int32 accumulation, f32 rescale. Returns [..., N] f32."""
+def int8_matmul_prequant(x: jnp.ndarray, wq: jnp.ndarray,
+                         sw: jnp.ndarray) -> jnp.ndarray:
+    """x [..., K] against an ALREADY-quantized kernel (wq int8 [K, N],
+    sw f32 [N]): dynamic per-row activation quantization, s8 MXU matmul,
+    f32 rescale. Weight quantization is loop-invariant — hoist it out of
+    the temporal scan via ``DynamicConv.combined_weights`` and feed the
+    (wq, sw) here, so the scan body pays only the activation absmax."""
     xq, sx = quantize_rowwise(x.astype(jnp.float32))
-    wq, sw = quantize_colwise(w.astype(jnp.float32))
     acc = jax.lax.dot_general(
         xq, wq,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     return acc.astype(jnp.float32) * sx * sw
+
+
+def int8_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """x [..., K] f32/bf16 @ w [K, N] f32 with dynamic w8a8: int8 MXU
+    matmul, int32 accumulation, f32 rescale. Returns [..., N] f32."""
+    wq, sw = quantize_colwise(w.astype(jnp.float32))
+    return int8_matmul_prequant(x, wq, sw)
 
 
 def int8_affine(x: jnp.ndarray, kernel: jnp.ndarray,

@@ -64,6 +64,26 @@ def test_quantized_dynamic_conv_close():
     assert rel < 0.05, rel
 
 
+def test_quantized_hoisted_weights_match_inline():
+    """combined_weights() pre-quantizes every chain outside the scan; the
+    hoisted path must equal the inline (in-scan) quantization exactly —
+    same colwise absmax, same int8 kernel."""
+    rng = np.random.default_rng(3)
+    pro = jnp.asarray(rng.normal(size=(1, 16, 24)).astype(np.float32))
+    roi = jnp.asarray(rng.normal(size=(1, 16, 8, 24)).astype(np.float32))
+    m = DynamicConv(feat_size=8, hidden_dim=24, param_reduction=2,
+                    quantize=True)
+    variables = m.init(jax.random.key(0), pro, roi)
+    cw = m.apply(variables, method=DynamicConv.combined_weights)
+    assert set(cw) == {"gen1", "gen2", "out"}
+    for entry in cw.values():
+        qk = entry.get("wq", entry.get("wq1"))
+        assert qk.dtype == jnp.int8
+    a = np.asarray(m.apply(variables, pro, roi))            # inline
+    b = np.asarray(m.apply(variables, pro, roi, combined=cw))  # hoisted
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_quantized_model_inference_and_train_guard():
     import dataclasses
 
