@@ -150,8 +150,11 @@ def main():
         ca = comp.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops_per_frame = float(ca.get("flops", 0.0))
+        # int8 A/B: the quantized chains run on the s8 MXU path at 2x the
+        # bf16 rate, so the utilization denominator doubles
+        peak = V5E_BF16_PEAK * (2 if cfg.quantize == "int8" else 1)
         if flops_per_frame > 0:
-            mfu = flops_per_frame * fps / V5E_BF16_PEAK
+            mfu = flops_per_frame * fps / peak
     except Exception:
         pass
 
@@ -163,6 +166,10 @@ def main():
             build_optimizer, create_train_state, make_train_step,
         )
 
+        # training is always f32/bf16 — quantize is inference-only, so the
+        # int8 A/B run still measures the same comparable train step
+        t_model = (model if cfg.quantize == "none" else
+                   PHNet(dataclasses.replace(cfg, quantize="none")))
         t_frames = jnp.asarray(rng.normal(
             size=(1, 16, cfg.img_h, cfg.img_w, 3)).astype(np.float32))
         lab = np.full((1, 16, cfg.max_lanes, cfg.lane.dim), -1e5, np.float32)
@@ -180,8 +187,8 @@ def main():
         criterion = LaneCriterion(cfg, tcfg.loss)
         tx = build_optimizer(tcfg, 1000)
         state = create_train_state(
-            model, cfg, jax.random.key(0), t_frames, t_labels, tx)
-        step = jax.jit(make_train_step(model, criterion, tx),
+            t_model, cfg, jax.random.key(0), t_frames, t_labels, tx)
+        step = jax.jit(make_train_step(t_model, criterion, tx),
                        donate_argnums=0)
         state, m = step(state, t_frames, t_labels, jax.random.key(1))
         float(m["loss"])

@@ -14,7 +14,7 @@ weights and the initial temporal-memory buffers alongside it:
       memory.npz       initial memory arrays (ring buffer or V3 carry)
       manifest.json    shapes, lane-spec decode constants, jax version
 
-``load_deployed(dir)`` reconstructs a ticking server from those files
+``DeployedServer(dir)`` reconstructs a ticking server from those files
 alone — no PHNet / flax import, no re-trace, no weight-init code path; the
 XLA compile of the StableHLO payload is the only startup cost. The
 exported step is platform-checked by jax.export (an artifact exported on
@@ -41,7 +41,7 @@ from jax import export as jax_export
 
 from .config import ModelConfig
 from .models import PHNet
-from .models.phnet import MemoryState, V3MemoryState, init_memory
+from .models.phnet import init_memory
 
 _MANIFEST = "manifest.json"
 _STEP = "step.jaxexport"

@@ -207,7 +207,7 @@ class LaneCriterion:
         outs: TrainFrameOut with pred_fir/pred_sec [T, S, B, A, dim] and
         diff [T, S, B, A]; labels: [B, T, L, dim].
         Returns mean per-frame loss (reference ``total_loss / (N*T)``,
-        ``trainVIL.py:238-243``) and summed metrics.
+        ``trainVIL.py:238-243``) and per-frame MEAN metrics.
         """
         labels_t = labels.swapaxes(0, 1)  # [T, B, L, dim]
         matched_sec = getattr(outs, "matched_sec", None)  # [T, S, B, L]

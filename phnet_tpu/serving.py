@@ -54,7 +54,11 @@ class StreamingServer:
         if mesh is not None:
             from .parallel.mesh import batch_sharding, replicate_sharding
 
-            data_size = mesh.shape[mesh.axis_names[0]]
+            if "data" not in mesh.axis_names:
+                raise ValueError(
+                    f"mesh needs a 'data' axis to shard streams over "
+                    f"(got axes {mesh.axis_names})")
+            data_size = mesh.shape["data"]
             if max_streams % data_size:
                 raise ValueError(
                     f"max_streams={max_streams} must be divisible by the "

@@ -95,8 +95,10 @@ def make_train_step(
         (batch_stats, gsum, lsum), metrics_stack = jax.lax.scan(
             micro, (state.batch_stats, zeros, jnp.zeros(())), (fr, lb, rngs))
         grads = jax.tree_util.tree_map(lambda g: g / accum_steps, gsum)
+        # criterion metrics are per-micro-batch MEANS (criterion.py:239);
+        # equal micro-batch sizes make their average the full-batch mean
         metrics = jax.tree_util.tree_map(
-            lambda m: m.sum(0), metrics_stack)  # criterion metrics are sums
+            lambda m: m.mean(0), metrics_stack)
         return apply_update(
             state, grads, batch_stats, lsum / accum_steps, metrics)
 

@@ -184,6 +184,14 @@ def test_grad_accumulation_matches_full_batch():
     assert int(s_acc.step) == int(s_full.step) == int(state.step) + 1
     np.testing.assert_allclose(
         float(m_acc["loss"]), float(m_full["loss"]), rtol=0.05)
+    # criterion metrics are means — accumulation must NOT inflate them by
+    # accum_steps (they differ only by BN-stats/dropout micro-batch noise)
+    for k in m_full:
+        if k in ("loss", "grad_norm"):
+            continue
+        np.testing.assert_allclose(
+            float(m_acc[k]), float(m_full[k]), rtol=0.25, atol=1e-3,
+            err_msg=k)
     # one update applied, comparable magnitude
     d_full = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), s_full.params, state.params)

@@ -47,9 +47,9 @@ def main():
     import dataclasses
 
     cfg = vil100_config() if args.preset == "vil100" else openlane_config()
-    if args.int8:
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
+    # keep the init/restore model f32 — quantize is inference-only and is
+    # applied to the EXPORTED graph below (train-mode init would trip the
+    # quantized model's training guard)
     model = PHNet(cfg.model)
     frames0 = jnp.zeros((1, 1, cfg.model.img_h, cfg.model.img_w, 3))
     variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
@@ -81,11 +81,15 @@ def main():
         print("warning: exporting with randomly initialized weights "
               "(no --checkpoint / --torch-checkpoint)", file=sys.stderr)
 
+    mcfg = cfg.model
+    if args.int8:
+        mcfg = dataclasses.replace(mcfg, quantize="int8")
     platforms = tuple(args.platforms) if args.platforms else None
     out = export_serving_step(
-        cfg.model, variables, args.out, batch=args.batch,
+        mcfg, variables, args.out, batch=args.batch,
         memory_window=args.window, platforms=platforms)
-    print(f"exported {args.preset} serving step (batch={args.batch}) -> {out}")
+    print(f"exported {args.preset} serving step (batch={args.batch}"
+          f"{', int8' if args.int8 else ''}) -> {out}")
 
 
 if __name__ == "__main__":
