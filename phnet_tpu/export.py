@@ -165,3 +165,33 @@ class DeployedServer:
         kept, valid, _num, *mem = out
         self.memory = tuple(mem)
         return np.asarray(kept), np.asarray(valid)
+
+    def decode(self, kept: np.ndarray, valid: np.ndarray,
+               ori_img_h: int = 0, cut_height: int = 0):
+        """Decode one stream's kept rows to :class:`~phnet_tpu.geometry.Lane`
+        objects using the lane-spec constants frozen in the manifest —
+        mirrors ``StreamingServer.decode`` so a deployed artifact yields
+        the same lane points as the live server."""
+        from .config import LaneSpec
+        from .geometry import decode_predictions
+
+        ls = self.manifest["lane_spec"]
+        spec = LaneSpec(**ls)
+        results = []
+        for b in range(kept.shape[0]):
+            rows = np.asarray(kept[b])[np.asarray(valid[b])]
+            if len(rows) == 0:
+                results.append([])
+                continue
+            rows = rows.copy()
+            rows[:, spec.col_length] = np.round(
+                rows[:, spec.col_length] * spec.n_strips)
+            if spec.n_lengths == 2:
+                rows[:, spec.col_invalid_length] = np.round(
+                    rows[:, spec.col_invalid_length] * spec.n_strips)
+                results.append(decode_predictions(
+                    rows, spec, ori_img_h=ori_img_h, cut_height=cut_height))
+            else:
+                results.append(decode_predictions(
+                    rows, spec, extend_bottom=True))
+        return results

@@ -53,11 +53,18 @@ def test_deployed_matches_streaming_server(exported):
     for t in range(4):
         frames = np.stack([clips[i]["frames"][t] for i in range(2)])
         kept_d, valid_d = deployed.tick(frames)
-        kept_s, valid_s, _ = server.step_async(
+        kept_s, valid_s, s_order = server.step_async(
             {sids[i]: frames[i] for i in range(2)})
         np.testing.assert_array_equal(valid_d, np.array(valid_s))
         np.testing.assert_allclose(
             kept_d, np.array(kept_s), rtol=1e-5, atol=1e-5)
+        # manifest-driven decode == live-server decode
+        lanes_d = deployed.decode(kept_d, valid_d)
+        lanes_s = server.decode(kept_s, valid_s, s_order)
+        for i in range(2):
+            assert len(lanes_d[i]) == len(lanes_s[sids[i]])
+            for a, b in zip(lanes_d[i], lanes_s[sids[i]]):
+                np.testing.assert_allclose(a.points, b.points, atol=1e-5)
 
     # memory advanced and is restorable
     assert int(np.asarray(deployed.memory[-1])) == 4  # ring counter t
