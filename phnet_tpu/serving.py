@@ -16,6 +16,8 @@ was designed for (frame-by-frame video with carried state).
 
 from __future__ import annotations
 
+import time
+from collections import deque
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -76,6 +78,13 @@ class StreamingServer:
         self.active = np.zeros(max_streams, bool)
         # original-image decode geometry per stream
         self.stream_geo: List[Tuple[int, int]] = [(0, 0)] * max_streams
+        # observability: rolling dispatch-wall window + lifetime counters
+        # (the reference's only serving telemetry is testVIL's fps print;
+        # a production tick loop needs p50/p99 and per-stream liveness)
+        self._tick_wall = deque(maxlen=512)
+        self._n_ticks = 0
+        self._n_frames = 0
+        self._frames_per_stream = np.zeros(max_streams, np.int64)
 
         def step(variables, frames, mem):
             outs, mem = self.model.apply(
@@ -143,6 +152,7 @@ class StreamingServer:
         of a locally attached chip.
         """
         mcfg = self.mcfg
+        t0 = time.perf_counter()
         batch = np.zeros(
             (self.max_streams, 1, mcfg.img_h, mcfg.img_w, 3), np.float32)
         for sid, frame in frames.items():
@@ -154,7 +164,27 @@ class StreamingServer:
             batch = jnp.asarray(batch)
         kept, valid, self.memory = self._step(
             self.variables, batch, self.memory)
+        self._tick_wall.append(time.perf_counter() - t0)
+        self._n_ticks += 1
+        self._n_frames += len(frames)
+        for sid in frames:
+            self._frames_per_stream[sid] += 1
         return kept, valid, list(frames.keys())
+
+    def stats(self) -> Dict:
+        """Serving telemetry: lifetime tick/frame counters, per-stream
+        frames, and dispatch-wall percentiles over the last ≤512 ticks.
+        Dispatch wall = host assembly + H2D + async dispatch (the device
+        step itself overlaps the next tick unless the caller syncs)."""
+        wall = np.array(self._tick_wall) * 1e3
+        return {
+            "ticks": self._n_ticks,
+            "frames": self._n_frames,
+            "active_streams": int(self.active.sum()),
+            "frames_per_stream": self._frames_per_stream.tolist(),
+            "dispatch_ms_p50": float(np.percentile(wall, 50)) if len(wall) else None,
+            "dispatch_ms_p99": float(np.percentile(wall, 99)) if len(wall) else None,
+        }
 
     def decode(self, kept, valid, sids) -> Dict[int, List[Lane]]:
         """Fetch + decode a tick dispatched by :meth:`step_async`."""

@@ -83,6 +83,22 @@ def test_streaming_server_matches_pipeline(server_setup):
             np.testing.assert_allclose(a.points, b.points, atol=1e-4)
 
 
+def test_streaming_server_stats(server_setup):
+    cfg, variables = server_setup
+    server = StreamingServer(cfg, variables, max_streams=2, memory_window=4)
+    s0 = server.attach()
+    clip = synthetic_clip(seed=3, t=3, img_h=cfg.model.img_h,
+                          img_w=cfg.model.img_w, spec=cfg.model.lane,
+                          max_lanes=cfg.model.max_lanes)
+    for t in range(3):
+        server.step({s0: clip["frames"][t]})
+    st = server.stats()
+    assert st["ticks"] == 3 and st["frames"] == 3
+    assert st["active_streams"] == 1
+    assert st["frames_per_stream"][s0] == 3
+    assert st["dispatch_ms_p50"] > 0 and st["dispatch_ms_p99"] >= st["dispatch_ms_p50"]
+
+
 def test_streaming_server_mesh_parity(server_setup):
     """Streams sharded over a 4-wide data mesh == the unsharded server
     (chip-scale request batching: the ROADMAP's multi-chip serving)."""
