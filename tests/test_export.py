@@ -72,6 +72,24 @@ def test_deployed_matches_streaming_server(exported):
     assert int(np.asarray(deployed.memory[-1])) == 0
 
 
+def test_export_ol_layout(tmp_path):
+    """Single-length (OpenLane) lane layout: export, reload, tick, and
+    decode through the extend_bottom branch."""
+    mcfg = tiny_cfg(window=4, n_lengths=1)
+    model = PHNet(mcfg)
+    frames0 = jnp.zeros((1, 1, mcfg.img_h, mcfg.img_w, 3))
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames0)
+    art = str(tmp_path / "art_ol")
+    export_serving_step(mcfg, variables, art, batch=1, memory_window=4)
+    dep = DeployedServer(art)
+    assert dep.manifest["lane_spec"]["n_lengths"] == 1
+    frame = np.zeros((mcfg.img_h, mcfg.img_w, 3), np.float32)
+    kept, valid = dep.tick(frame)
+    lanes = dep.decode(kept, valid)
+    assert len(lanes) == 1 and isinstance(lanes[0], list)
+
+
 def test_deployed_variables_roundtrip(exported):
     """params.npz must reproduce the full variables pytree exactly."""
     _, variables, art = exported
