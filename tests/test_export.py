@@ -90,6 +90,26 @@ def test_export_ol_layout(tmp_path):
     assert len(lanes) == 1 and isinstance(lanes[0], list)
 
 
+def test_export_int8_artifact(tmp_path):
+    """The quantized serving graph (s8 dot_generals) must survive the
+    export/deserialize roundtrip and tick."""
+    import dataclasses
+
+    mcfg = dataclasses.replace(tiny_cfg(window=4), quantize="int8")
+    model = PHNet(mcfg)
+    frames0 = jnp.zeros((1, 1, mcfg.img_h, mcfg.img_w, 3))
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames0)
+    art = str(tmp_path / "art_int8")
+    export_serving_step(mcfg, variables, art, batch=1, memory_window=4)
+    dep = DeployedServer(art)
+    clip = synthetic_clip(seed=11, t=2, img_h=mcfg.img_h, img_w=mcfg.img_w,
+                          spec=mcfg.lane, max_lanes=mcfg.max_lanes)
+    for t in range(2):
+        kept, valid = dep.tick(clip["frames"][t])
+    assert kept.shape[0] == 1 and valid.dtype == bool
+
+
 def test_deployed_variables_roundtrip(exported):
     """params.npz must reproduce the full variables pytree exactly."""
     _, variables, art = exported
