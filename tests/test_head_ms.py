@@ -90,3 +90,25 @@ def test_multiscale_gradients_flow():
         losses.append(float(metrics["loss"]))
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_multiscale_int8_inference():
+    """quantize='int8' wires into the multiscale head's DynamicConvs; the
+    quantized inference graph must run and stay close to f32."""
+    import dataclasses
+
+    cfg = tiny_ms_cfg()
+    model = PHNet(cfg)
+    rng = np.random.default_rng(1)
+    frames = jnp.array(rng.normal(size=(1, 2, cfg.img_h, cfg.img_w, 3)),
+                       jnp.float32)
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames)
+    outs_f, _ = model.apply(variables, frames, None, train=False)
+    model_q = PHNet(dataclasses.replace(cfg, quantize="int8"))
+    outs_q, _ = model_q.apply(variables, frames, None, train=False)
+    assert outs_q.kept.shape == outs_f.kept.shape
+    assert np.isfinite(np.array(outs_q.kept)).all()
+    # numerical closeness on random (untrained) weights is not meaningful
+    # at the post-NMS surface — the trained-model quality bound lives in
+    # tests/test_e2e_quality.py (quantized F1 gate)
