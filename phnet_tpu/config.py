@@ -88,6 +88,12 @@ class BackboneConfig:
     depth: int = 18
     in_channels: Tuple[int, ...] = (64, 128, 256, 512)
     norm: str = "batch"  # "batch" (SyncBN via axis_name) or "group"
+    # stem formulation: "conv7" = the reference's 7x7/s2 conv on 3 input
+    # channels; "space_to_depth" = the SAME function (exact, same params,
+    # checkpoint-compatible) computed as a 4x4/s1 conv on a 2x2
+    # space-to-depth input — 3-channel convs waste the 128-wide MXU, the
+    # SD form feeds it 12 channels (the MLPerf ResNet TPU trick)
+    stem: str = "conv7"
     # which of the four stage outputs feed the neck; the reference FPN drops
     # leading levels when given fewer in_channels (fpn.py:113-116)
     out_indices: Tuple[int, ...] = (1, 2, 3)

@@ -37,6 +37,7 @@ class Encoder(nn.Module):
                 stage_channels=bcfg.in_channels,
                 norm=bcfg.norm,
                 dtype=dtype,
+                stem=bcfg.stem,
                 name="backbone",
             )(frames.astype(dtype), train=train)
         feats = [feats[i] for i in self.cfg.backbone.out_indices]

@@ -14,9 +14,43 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
+
+
+def space_to_depth_stem(x: jnp.ndarray, kernel: jnp.ndarray,
+                        dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """The 7x7/stride-2/pad-3 stem conv, computed exactly as a 4x4/stride-1
+    conv on a 2x2 space-to-depth input (the MLPerf ResNet TPU trick).
+
+    A 3-input-channel conv occupies 3 of the MXU's 128 contraction lanes;
+    space-to-depth moves the 2x2 spatial phase into channels (3 -> 12) at
+    identical FLOPs. Derivation: output row i of the original conv reads
+    input rows ``2i + di - 3`` for tap ``di in [0, 7)``; writing the input
+    row as ``2(i + kh - 2) + p`` over the SD grid gives ``di = 2 kh + p - 1``
+    with ``kh in [0, 4)``, ``p in {0, 1}`` — a 4x4 kernel over the SD input
+    with padding (2, 1), where the (kh=0, p=0) taps (di = -1) are zero.
+    Same parameters (the [7,7,C,O] kernel is rearranged in-graph: a pad +
+    reshape of 9.4k floats, negligible), so checkpoints, the torchvision
+    import, and training are untouched; exact up to float reassociation.
+
+    x: [B, H, W, C] with H, W even; kernel: [7, 7, C, O]. Returns
+    [B, H/2, W/2, O].
+    """
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    o = kernel.shape[-1]
+    k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # tap -1 row/col
+    k = k.reshape(4, 2, 4, 2, c, o)  # [kh, p, kw, q, c, o]
+    k_sd = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, o)
+    x_sd = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x_sd = x_sd.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    return jax.lax.conv_general_dilated(
+        x_sd.astype(dtype), k_sd.astype(dtype),
+        window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class Norm(nn.Module):
@@ -96,13 +130,25 @@ class ResNetBackbone(nn.Module):
     stage_channels: Tuple[int, ...] = (64, 128, 256, 512)
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
+    stem: str = "conv7"  # "conv7" | "space_to_depth" (same function/params)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
         blocks = STAGE_BLOCKS[self.depth]
         block_cls = BasicBlock if self.depth < 50 else Bottleneck
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=self.dtype)(x)
+        if self.stem == "space_to_depth":
+            # same "Conv_0/kernel" param tree as the nn.Conv branch (the
+            # dict-valued-param trick from dynamic_conv._dense_param), so
+            # the two stems are checkpoint-interchangeable
+            p = self.param(
+                "Conv_0",
+                lambda key: {"kernel": nn.initializers.lecun_normal()(
+                    key, (7, 7, x.shape[-1], 64))},
+            )
+            x = space_to_depth_stem(x, p["kernel"], self.dtype)
+        else:
+            x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                        dtype=self.dtype)(x)
         x = Norm(self.norm, self.dtype)(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -188,3 +188,49 @@ def test_einsum_pool_matches_bilinear_sample():
     )(feat, px, py)
     np.testing.assert_allclose(np.array(got), np.array(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_space_to_depth_stem_exact():
+    """The SD stem is the SAME function as the 7x7/s2 conv: identical
+    param tree, identical outputs (up to f32 reassociation), identical
+    gradients — so the flag is a pure layout choice, checkpoint-safe."""
+    from phnet_tpu.models.resnet import ResNetBackbone, space_to_depth_stem
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 48, 64, 3)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(7, 7, 3, 8)) * 0.1, jnp.float32)
+
+    # core transform vs the direct strided conv
+    want = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = space_to_depth_stem(x, kernel)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # full backbone: one set of variables drives both stems
+    m_ref = ResNetBackbone(stage_channels=(8, 16, 24, 32))
+    m_sd = ResNetBackbone(stage_channels=(8, 16, 24, 32),
+                          stem="space_to_depth")
+    variables = m_ref.init(jax.random.key(0), x)
+    v_sd = m_sd.init(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v_sd))
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(v_sd)):
+        assert a.shape == b.shape
+
+    outs_ref = m_ref.apply(variables, x)
+    outs_sd = m_sd.apply(variables, x)
+    for a, b in zip(outs_ref, outs_sd):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    # gradient parity through the stem param
+    def loss(v, module):
+        return sum(jnp.sum(o**2) for o in module.apply(v, x))
+
+    g_ref = jax.grad(loss)(variables, m_ref)["params"]["Conv_0"]["kernel"]
+    g_sd = jax.grad(loss)(variables, m_sd)["params"]["Conv_0"]["kernel"]
+    np.testing.assert_allclose(np.array(g_sd), np.array(g_ref),
+                               rtol=1e-4, atol=1e-4)
