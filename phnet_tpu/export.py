@@ -150,6 +150,9 @@ class DeployedServer:
             self._mem0 = tuple(z[f"m{i}"] for i in range(len(z.files)))
         self.memory = self._mem0
         self.batch = int(self.manifest["batch"])
+        from .config import LaneSpec
+
+        self.lane_spec = LaneSpec(**self.manifest["lane_spec"])
 
     def reset(self):
         self.memory = self._mem0
@@ -167,31 +170,27 @@ class DeployedServer:
         return np.asarray(kept), np.asarray(valid)
 
     def decode(self, kept: np.ndarray, valid: np.ndarray,
-               ori_img_h: int = 0, cut_height: int = 0):
-        """Decode one stream's kept rows to :class:`~phnet_tpu.geometry.Lane`
-        objects using the lane-spec constants frozen in the manifest —
-        mirrors ``StreamingServer.decode`` so a deployed artifact yields
-        the same lane points as the live server."""
-        from .config import LaneSpec
-        from .geometry import decode_predictions
+               ori_img_h=0, cut_height=0):
+        """Decode kept rows to :class:`~phnet_tpu.geometry.Lane` objects
+        using the lane-spec constants frozen in the manifest — the SAME
+        :func:`phnet_tpu.geometry.decode_kept_rows` path as the live
+        ``StreamingServer.decode``, so a deployed artifact yields identical
+        lane points. ``ori_img_h``/``cut_height``: an int applied to every
+        stream, or a length-``batch`` sequence of per-stream values
+        (matching the live server's per-stream attach-time geometry)."""
+        from .geometry import decode_kept_rows
 
-        ls = self.manifest["lane_spec"]
-        spec = LaneSpec(**ls)
-        results = []
-        for b in range(kept.shape[0]):
-            rows = np.asarray(kept[b])[np.asarray(valid[b])]
-            if len(rows) == 0:
-                results.append([])
-                continue
-            rows = rows.copy()
-            rows[:, spec.col_length] = np.round(
-                rows[:, spec.col_length] * spec.n_strips)
-            if spec.n_lengths == 2:
-                rows[:, spec.col_invalid_length] = np.round(
-                    rows[:, spec.col_invalid_length] * spec.n_strips)
-                results.append(decode_predictions(
-                    rows, spec, ori_img_h=ori_img_h, cut_height=cut_height))
-            else:
-                results.append(decode_predictions(
-                    rows, spec, extend_bottom=True))
-        return results
+        spec = self.lane_spec
+        n = kept.shape[0]
+        ori = ([ori_img_h] * n if np.ndim(ori_img_h) == 0 else list(ori_img_h))
+        cut = ([cut_height] * n if np.ndim(cut_height) == 0 else list(cut_height))
+        if len(ori) != n or len(cut) != n:
+            raise ValueError(
+                f"per-stream geometry length mismatch: batch={n}, "
+                f"ori_img_h={len(ori)}, cut_height={len(cut)}")
+        return [
+            decode_kept_rows(
+                np.asarray(kept[b])[np.asarray(valid[b])], spec,
+                ori_img_h=ori[b], cut_height=cut[b])
+            for b in range(n)
+        ]

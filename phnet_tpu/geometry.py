@@ -246,6 +246,34 @@ def decode_predictions(
     return lanes
 
 
+def decode_kept_rows(
+    rows: np.ndarray,
+    spec: LaneSpec,
+    ori_img_h: int = 0,
+    cut_height: int = 0,
+) -> List[Lane]:
+    """Decode NMS-kept prediction rows (normalized length fields) to Lanes.
+
+    The one decode path shared by the live server
+    (:class:`~phnet_tpu.serving.StreamingServer`) and the AOT artifact
+    (:class:`~phnet_tpu.export.DeployedServer`): scales the length field(s)
+    to strip counts (reference ``RouterV4.py:434-436``) and dispatches on
+    the lane layout — VIL (``n_lengths == 2``) un-crops y with the stream's
+    original-image geometry, OL extends to the image bottom
+    (``Router4OL.py:395-440``).
+    """
+    if len(rows) == 0:
+        return []
+    rows = np.asarray(rows, dtype=np.float64).copy()
+    rows[:, spec.col_length] = np.round(rows[:, spec.col_length] * spec.n_strips)
+    if spec.n_lengths == 2:
+        rows[:, spec.col_invalid_length] = np.round(
+            rows[:, spec.col_invalid_length] * spec.n_strips)
+        return decode_predictions(
+            rows, spec, ori_img_h=ori_img_h, cut_height=cut_height)
+    return decode_predictions(rows, spec, extend_bottom=True)
+
+
 def build_prior_embeddings(num_priors: int) -> np.ndarray:
     """Initial (start_y, start_x, theta) anchor parameters.
 

@@ -23,6 +23,14 @@ against it).
 LayerNorms after every generator matmul renormalize the quantization
 error, which is why the head tolerates w8a8 on these chains (verified by
 the quantized F1 gate in ``tests/test_e2e_quality.py``).
+
+Measured on a real v5e (back-to-back A/B, idle host): **a wash** — VIL
+streaming 733.6 fps int8 vs 754.3 bf16, OpenLane 799.5 vs 776.9 (within
+tunnel noise). At these [A=240, K] shapes XLA's lowering does not realize
+the 2x s8 MXU rate, and the per-row absmax+round inside the temporal scan
+costs about what the matmul saves. The path stays opt-in
+(``quantize="int8"``) for batch-heavy serving or future toolchains; bf16
+is the default.
 """
 
 from __future__ import annotations

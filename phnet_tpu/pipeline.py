@@ -18,7 +18,7 @@ import numpy as np
 
 from .config import Config, ModelConfig
 from .evaluation.emit import write_gt_txt, write_pred_txt
-from .geometry import Lane, decode_predictions
+from .geometry import Lane, decode_kept_rows
 from .models import PHNet
 from .models.phnet import init_memory
 
@@ -84,26 +84,11 @@ class InferencePipeline:
         kept_np = np.concatenate(kept_all)[:t_total]  # [T, K, dim]
         valid_np = np.concatenate(valid_all)[:t_total]
 
-        per_frame: List[List[Lane]] = []
-        for t in range(t_total):
-            rows = kept_np[t][valid_np[t]]
-            if len(rows) == 0:
-                per_frame.append([])
-                continue
-            rows = rows.copy()
-            # length fields round to strip counts before decoding
-            # (RouterV4.py:434-436)
-            rows[:, spec.col_length] = np.round(
-                rows[:, spec.col_length] * spec.n_strips)
-            if spec.n_lengths == 2:
-                rows[:, spec.col_invalid_length] = np.round(
-                    rows[:, spec.col_invalid_length] * spec.n_strips)
-                lanes = decode_predictions(
-                    rows, spec,
-                    ori_img_h=self._ori_h, cut_height=self._cut)
-            else:
-                lanes = decode_predictions(rows, spec, extend_bottom=True)
-            per_frame.append(lanes)
+        per_frame: List[List[Lane]] = [
+            decode_kept_rows(kept_np[t][valid_np[t]], spec,
+                             ori_img_h=self._ori_h, cut_height=self._cut)
+            for t in range(t_total)
+        ]
         return per_frame, model_seconds
 
     # ------------------------------------------------------------------

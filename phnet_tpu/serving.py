@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import Config
-from .geometry import Lane, decode_predictions
+from .geometry import Lane, decode_kept_rows
 from .models import PHNet
 from .models.phnet import init_memory
 
@@ -116,6 +116,8 @@ class StreamingServer:
         sid = int(free[0])
         self.active[sid] = True
         self.stream_geo[sid] = (ori_img_h, cut_height)
+        # a reused slot must not inherit the previous stream's frame count
+        self._frames_per_stream[sid] = 0
         self._clear_slot(sid)
         return sid
 
@@ -191,25 +193,12 @@ class StreamingServer:
         spec = self.mcfg.lane
         kept = np.array(kept)
         valid = np.array(valid)
-        frames = {sid: None for sid in sids}
 
         results: Dict[int, List[Lane]] = {}
-        for sid in frames:
-            rows = kept[sid][valid[sid]]
-            if len(rows) == 0:
-                results[sid] = []
-                continue
-            rows = rows.copy()
-            rows[:, spec.col_length] = np.round(
-                rows[:, spec.col_length] * spec.n_strips)
+        for sid in sids:
             ori_h, cut = self.stream_geo[sid]
-            if spec.n_lengths == 2:
-                rows[:, spec.col_invalid_length] = np.round(
-                    rows[:, spec.col_invalid_length] * spec.n_strips)
-                results[sid] = decode_predictions(
-                    rows, spec, ori_img_h=ori_h, cut_height=cut)
-            else:
-                results[sid] = decode_predictions(rows, spec, extend_bottom=True)
+            results[sid] = decode_kept_rows(
+                kept[sid][valid[sid]], spec, ori_img_h=ori_h, cut_height=cut)
         return results
 
     def step(self, frames: Dict[int, np.ndarray]) -> Dict[int, List[Lane]]:

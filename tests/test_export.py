@@ -41,7 +41,10 @@ def test_deployed_matches_streaming_server(exported):
     cfg, variables, art = exported
     mcfg = cfg.model
     server = StreamingServer(cfg, variables, max_streams=2, memory_window=4)
-    sids = [server.attach(), server.attach()]
+    # distinct per-stream original-image geometry: the deployed decode must
+    # honour it per batch row exactly like the live server's attach-time geo
+    geos = [(240, 80), (360, 0)]
+    sids = [server.attach(ori_img_h=h, cut_height=c) for h, c in geos]
     deployed = DeployedServer(art)
     assert deployed.manifest["memory_class"] == "MemoryState"
 
@@ -58,8 +61,10 @@ def test_deployed_matches_streaming_server(exported):
         np.testing.assert_array_equal(valid_d, np.array(valid_s))
         np.testing.assert_allclose(
             kept_d, np.array(kept_s), rtol=1e-5, atol=1e-5)
-        # manifest-driven decode == live-server decode
-        lanes_d = deployed.decode(kept_d, valid_d)
+        # manifest-driven decode == live-server decode (per-stream geometry)
+        lanes_d = deployed.decode(
+            kept_d, valid_d, ori_img_h=[g[0] for g in geos],
+            cut_height=[g[1] for g in geos])
         lanes_s = server.decode(kept_s, valid_s, s_order)
         for i in range(2):
             assert len(lanes_d[i]) == len(lanes_s[sids[i]])

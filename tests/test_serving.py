@@ -98,6 +98,15 @@ def test_streaming_server_stats(server_setup):
     assert st["frames_per_stream"][s0] == 3
     assert st["dispatch_ms_p50"] > 0 and st["dispatch_ms_p99"] >= st["dispatch_ms_p50"]
 
+    # a reattached slot must NOT inherit the previous stream's frame count
+    server.detach(s0)
+    s0b = server.attach()
+    assert s0b == s0
+    assert server.stats()["frames_per_stream"][s0b] == 0
+    server.step({s0b: clip["frames"][0]})
+    assert server.stats()["frames_per_stream"][s0b] == 1
+    assert server.stats()["frames"] == 4  # lifetime total unaffected
+
 
 def test_streaming_server_mesh_parity(server_setup):
     """Streams sharded over a 4-wide data mesh == the unsharded server
