@@ -9,6 +9,13 @@ per-stream temporal memory slot (the fixed-shape ring buffer makes
 per-stream reset a pure masked write: no recompilation when streams
 attach/detach mid-flight).
 
+Per-chip stream count has a measured knee at **B=8** (see
+``tools/serving_sweep.py``: B=1/4/8/16/32 → 357/729/896/762/522
+aggregate fps on one v5e) — past 8 the per-anchor generated-weight
+tensors ([B, A, C, 2C]) outgrow VMEM and the tick goes superlinear. To
+serve more cameras, hold B=8 per chip and widen the mesh
+(``StreamingServer(mesh=...)`` shards streams over the data axis).
+
 The reference has no serving stack (SURVEY.md §2.8: inference = offline
 scripts); this is a TPU-native addition for the online use case the model
 was designed for (frame-by-frame video with carried state).

@@ -1,0 +1,105 @@
+"""Multi-stream serving sweep: aggregate throughput vs stream count.
+
+The single-stream detect scan is MEMORY-bound on re-reading the collapsed
+DynamicConv generator weights every frame (xplane: the [1024,8192] /
+[4608,1024] / [64,8192] bf16 weight reads dominate the scan's ~0.28
+GB/frame; arithmetic intensity sits right at the v5e ridge point at
+A=240 anchor rows). Batching B streams through one tick amortizes those
+weight reads B ways — the TPU-native answer to weight-bound serving is
+more streams per chip, then more chips per mesh
+(``StreamingServer(mesh=...)``).
+
+Protocol (matches the ROADMAP "device-resident aggregate" rows): one
+jitted tick = one frame for each of B streams with carried memory;
+inputs stay on device; N back-to-back dispatches with one checksum fence
+at the end (``block_until_ready`` is not a fence on the axon tunnel).
+
+Prints one JSON line per batch size; run on the real chip:
+
+    python tools/serving_sweep.py --batches 1 4 8 16 32 --ticks 100
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batches", type=int, nargs="+",
+                    default=[1, 4, 8, 16, 32])
+    ap.add_argument("--ticks", type=int, default=100)
+    ap.add_argument("--window", type=int, default=100)
+    ap.add_argument("--ol", action="store_true",
+                    help="OpenLane preset instead of VIL-100")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from phnet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from phnet_tpu.config import openlane_config, vil100_config
+    from phnet_tpu.models import PHNet
+    from phnet_tpu.models.phnet import init_memory
+
+    base = openlane_config() if args.ol else vil100_config()
+    cfg = dataclasses.replace(base.model, compute_dtype="bfloat16")
+    model = PHNet(cfg)
+
+    rng = np.random.default_rng(0)
+    frames1 = jnp.asarray(rng.normal(
+        size=(1, 1, cfg.img_h, cfg.img_w, 3)).astype(np.float32))
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames1)
+
+    def tick(variables, frames, mem):
+        outs, mem = model.apply(variables, frames, None, train=False,
+                                initial_memory=mem)
+        return outs.kept, outs.num_kept, mem
+
+    # measured sync RTT so the fps number reflects device time, not the
+    # development tunnel's scalar-fetch latency
+    trivial = jax.jit(lambda: jnp.float32(0))
+    float(trivial())
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(trivial())
+    rtt_s = (time.perf_counter() - t0) / 5
+
+    for b in args.batches:
+        frames = jnp.asarray(rng.normal(
+            size=(b, 1, cfg.img_h, cfg.img_w, 3)).astype(np.float32))
+        step = jax.jit(tick, donate_argnums=(2,))
+        mem = init_memory(cfg, b, args.window)
+        kept, nk, mem = step(variables, frames, mem)
+        np.array(nk)  # compile + warm
+        kept, nk, mem = step(variables, frames, mem)
+        np.array(nk)
+        t0 = time.perf_counter()
+        for _ in range(args.ticks):
+            kept, nk, mem = step(variables, frames, mem)
+        np.array(nk)
+        wall = time.perf_counter() - t0 - rtt_s
+        agg_fps = b * args.ticks / wall
+        print(json.dumps({
+            "batch_streams": b,
+            "agg_fps": round(agg_fps, 1),
+            "per_stream_fps": round(agg_fps / b, 1),
+            "tick_ms": round(wall / args.ticks * 1e3, 3),
+            "sync_rtt_ms": round(rtt_s * 1e3, 2),
+            "preset": "ol" if args.ol else "vil",
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
