@@ -200,8 +200,11 @@ class LaneHead(nn.Module):
         d = h.fc_hidden_dim
         n_reg_geo = 3 + spec.n_lengths  # start_y, start_x, theta + lengths
         fir_reg_dim = n_reg_geo if h.separate_offset_head else n_reg_geo + self.n_offsets
-        out_dims = (2, fir_reg_dim) + (
+        # (cls, geometry[, offsets]) output widths; PropagatingLaneHead's
+        # "_last" head stacks reuse this so the layouts can't diverge
+        self.branch_out_dims = (2, fir_reg_dim) + (
             (self.n_offsets,) if h.separate_offset_head else ())
+        out_dims = self.branch_out_dims
         self.heads_fir = MergedBranchHeads(
             d, out_dims, h.num_fc, dtype=compute_dtype, name="heads_fir")
         self.heads_sec = MergedBranchHeads(

@@ -81,17 +81,12 @@ class PropagatingLaneHead(LaneHead):
     def setup(self):
         super().setup()
         h = self.cfg.head
-        spec = self.cfg.lane
         d = h.fc_hidden_dim
         compute_dtype = (
             jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
             else jnp.float32
         )
-        n_geo = 3 + spec.n_lengths
-        if h.separate_offset_head:
-            out_dims = (2, n_geo, spec.n_offsets)
-        else:
-            out_dims = (2, n_geo + spec.n_offsets)
+        out_dims = self.branch_out_dims  # set by LaneHead.setup — one source
         # first "_last" head runs at width d with a single fc level
         # (DetNetV3 builds the *_modules_last stacks with range(1),
         # Router4OLV3.py:87-100)
@@ -141,7 +136,8 @@ class PropagatingLaneHead(LaneHead):
         h = self.cfg.head
         levels = tuple(reversed(fpn_feats))
         b = levels[0].shape[0]
-        k = last_priors.shape[1]
+        # carry contract: one propagated slot per possible kept lane
+        assert last_priors.shape[1] == self.cfg.max_lanes, last_priors.shape
 
         priors = jnp.broadcast_to(
             self.initial_priors()[None], (b, self.num_priors, self.spec.dim)
@@ -193,11 +189,17 @@ class PropagatingLaneHead(LaneHead):
                 mem_s[..., : h.fc_hidden_dim], self.heads_fir_last,
                 priors_last)
             # global: memorized rows attend to the current frame's anchors
-            # (forward_second_last(queryFeat=memoryFeat, memoryFeat=attnFeat))
+            # (forward_second_last(queryFeat=memoryFeat, memoryFeat=attnFeat)).
+            # tgt_mask keeps dead (invalid) slots out of the K-row
+            # self-attention keys — the reference only self-attends over
+            # real ragged kept rows (Router4OLV3.py:521-524), so without
+            # the mask a valid row's prediction would shift with the
+            # number of empty slots present.
             decoded_last = self.temporal_decoder_last(
                 mem_s, attn_feat,
                 jnp.ones(attn_feat.shape[:2], bool),
                 deterministic=not train,
+                tgt_mask=last_valid,
             )
             secl_full, secl_lines = self._branch(
                 decoded_last, self.heads_sec_last, priors_last)

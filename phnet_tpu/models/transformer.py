@@ -72,12 +72,17 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt, memory, memory_mask, deterministic: bool = True):
+    def __call__(self, tgt, memory, memory_mask, deterministic: bool = True,
+                 tgt_mask: Optional[jnp.ndarray] = None):
+        """``tgt_mask``: [B, Nt] bool — target rows valid as self-attention
+        KEYS (True=keep). Padded/dead target rows (e.g. empty propagated
+        prior slots) must not leak into valid rows' self-attention; the
+        reference only ever self-attends over real ragged rows."""
         # pre-norm self attention
         x = nn.LayerNorm(name="norm1")(tgt)
         sa = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
                                 dtype=self.dtype,
-                                name="self_attn")(x, x, x,
+                                name="self_attn")(x, x, x, key_mask=tgt_mask,
                                                   deterministic=deterministic)
         if self.dropout > 0.0 and not deterministic:
             sa = nn.Dropout(self.dropout)(sa, deterministic=False)
@@ -116,15 +121,17 @@ class TemporalDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt, memory, memory_mask, deterministic: bool = True):
-        """tgt: [B, A, D]; memory: [B, M, D]; memory_mask: [B, M] bool."""
+    def __call__(self, tgt, memory, memory_mask, deterministic: bool = True,
+                 tgt_mask: Optional[jnp.ndarray] = None):
+        """tgt: [B, A, D]; memory: [B, M, D]; memory_mask: [B, M] bool;
+        tgt_mask: optional [B, A] bool self-attention key validity."""
         x = tgt.astype(self.dtype)
         memory = memory.astype(self.dtype)
         for i in range(self.num_layers):
             x = DecoderLayer(self.dim, self.num_heads, self.ffn_dim,
                              self.dropout, dtype=self.dtype,
                              name=f"layer{i}")(
-                x, memory, memory_mask, deterministic)
+                x, memory, memory_mask, deterministic, tgt_mask=tgt_mask)
         x = nn.LayerNorm(name="final_norm")(x.astype(jnp.float32))
         # no valid memory for a batch element -> pass tgt through unchanged
         # (RouterV4.py:311-315: decoder is skipped when last_cut is empty)

@@ -75,6 +75,9 @@ def is_multihost() -> bool:
     return jax.process_count() > 1
 
 
+_WARM_CALLS = 0
+
+
 def warm_collectives(mesh: Mesh) -> None:
     """Initialize the collective fabric's context for this mesh's device
     group NOW, while all processes are in lockstep.
@@ -99,7 +102,13 @@ def warm_collectives(mesh: Mesh) -> None:
         lambda v: v.sum(), out_shardings=NamedSharding(mesh, P())
     ).lower(x).compile()
     if is_multihost():
-        barrier(f"phnet-warm-{'x'.join(map(str, mesh.devices.shape))}")
+        # unique barrier id per call: the coordination service may reject
+        # a re-used (already-passed) id, and one process can legitimately
+        # warm several meshes of the same shape in one lifetime
+        global _WARM_CALLS
+        _WARM_CALLS += 1
+        barrier(f"phnet-warm-{'x'.join(map(str, mesh.devices.shape))}"
+                f"-{_WARM_CALLS}")
     compiled(x).block_until_ready()
 
 
@@ -128,10 +137,12 @@ def replicate_tree(mesh: Mesh, tree):
 
 def global_key(mesh: Mesh, key):
     """Replicate a PRNG key (same on every process) across hosts. Typed
-    key arrays can't go through numpy, so round-trip the raw key data."""
+    key arrays can't go through numpy, so round-trip the raw key data —
+    preserving the key's PRNG impl (e.g. 'rbg', the partitionable impl
+    recommended multi-host; the default wrap would assume threefry)."""
     data = host_local_to_global(
         jax.random.key_data(key), NamedSharding(mesh, P()))
-    return jax.random.wrap_key_data(data)
+    return jax.random.wrap_key_data(data, impl=jax.random.key_impl(key))
 
 
 def global_batch(mesh: Mesh, local_arr, spec: P = P("data")):

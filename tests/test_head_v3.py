@@ -175,3 +175,59 @@ def test_propagate_preset_builds():
     mem = init_memory(cfg.model, 2, 1)
     assert isinstance(mem, V3MemoryState)
     assert mem.feat.shape == (2, 3, 4, cfg.model.head.attn_dim)
+
+
+def test_decoder_tgt_mask_blocks_dead_rows():
+    """Self-attention over the K propagated rows must exclude dead
+    (invalid) slots as keys: a valid row's decode cannot change with the
+    CONTENT of masked-out rows. Reference semantics: forward_second_last
+    self-attends only over the real ragged kept rows
+    (Router4OLV3.py:521-524)."""
+    from phnet_tpu.models.transformer import TemporalDecoder
+
+    d, k, a = 16, 4, 6
+    dec = TemporalDecoder(dim=d, num_layers=1, num_heads=4, ffn_dim=32,
+                          dropout=0.0)
+    rng = np.random.default_rng(0)
+    tgt = jnp.asarray(rng.normal(size=(1, k, d)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(size=(1, a, d)).astype(np.float32))
+    mem_mask = jnp.ones((1, a), bool)
+    tgt_mask = jnp.array([[True, True, False, False]])
+
+    variables = dec.init(jax.random.key(0), tgt, mem, mem_mask,
+                         tgt_mask=tgt_mask)
+    out_a = dec.apply(variables, tgt, mem, mem_mask, tgt_mask=tgt_mask)
+    # garbage in the dead rows must not reach the valid rows
+    tgt_b = tgt.at[:, 2:].set(1e3)
+    out_b = dec.apply(variables, tgt_b, mem, mem_mask, tgt_mask=tgt_mask)
+    np.testing.assert_allclose(np.array(out_a[:, :2]),
+                               np.array(out_b[:, :2]), atol=1e-5)
+    # without the mask the same perturbation leaks (sanity: test has teeth)
+    out_c = dec.apply(variables, tgt, mem, mem_mask)
+    out_d = dec.apply(variables, tgt_b, mem, mem_mask)
+    assert np.abs(np.array(out_c[:, :2]) - np.array(out_d[:, :2])).max() > 1e-3
+
+
+def test_propagating_head_out_dims_match_base():
+    """The _last head stacks must emit the same (cls, geo[, offsets])
+    widths as the base branches — one source of truth."""
+    from phnet_tpu.models.head_v3 import PropagatingLaneHead
+
+    cfg = openlane_propagate_config().model
+    head = PropagatingLaneHead(cfg)
+    b, hh, ww = 1, cfg.img_h, cfg.img_w
+    feats = tuple(
+        jnp.zeros((b, hh // s, ww // s, cfg.head.prior_feat_channels))
+        for s in (8, 16, 32))
+    k = cfg.max_lanes
+    variables = head.init(
+        jax.random.key(0), feats,
+        jnp.zeros((b, cfg.head.refine_layers, k, cfg.head.attn_dim)),
+        jnp.zeros((b, k, cfg.lane.dim)),
+        jnp.zeros((b, k), bool))
+    out = head.apply(variables, feats,
+                     jnp.zeros((b, cfg.head.refine_layers, k, cfg.head.attn_dim)),
+                     jnp.zeros((b, k, cfg.lane.dim)),
+                     jnp.zeros((b, k), bool))
+    assert out.pred_fir.shape[-1] == cfg.lane.dim
+    assert out.pred_sec.shape[-1] == cfg.lane.dim

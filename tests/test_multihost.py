@@ -105,3 +105,19 @@ def test_two_process_training_matches_single(tmp_path):
         state, metrics = jstep(state, gf, gl, rng)
         ref_losses.append(float(metrics["loss"]))
     np.testing.assert_allclose(l0, ref_losses, rtol=2e-4)
+
+
+def test_global_key_preserves_prng_impl():
+    """global_key must round-trip the key's PRNG impl — 'rbg' (the
+    partitionable impl recommended for multi-host) has key-data shape (4,),
+    which the default threefry wrap would reject or misinterpret."""
+    from phnet_tpu.parallel.multihost import global_key
+
+    mesh = make_mesh(len(jax.devices()))
+    for impl in ("threefry2x32", "rbg"):
+        key = jax.random.key(7, impl=impl)
+        gk = global_key(mesh, key)
+        assert str(jax.random.key_impl(gk)) == str(jax.random.key_impl(key))
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(gk)),
+            np.asarray(jax.random.key_data(key)))
