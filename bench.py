@@ -86,8 +86,11 @@ def main():
     # bf16 matmuls + Pallas NMS/router (auto on TPU) + partial scan unroll
     cfg = dataclasses.replace(
         vil100_config().model, compute_dtype="bfloat16", scan_unroll=5,
-        # PHNET_BENCH_INT8=1 A/Bs the w8a8 serving path (ops/quant.py)
-        quantize="int8" if os.environ.get("PHNET_BENCH_INT8") else "none")
+        # PHNET_BENCH_INT8=1 A/Bs the w8a8 serving path; or set
+        # PHNET_BENCH_QUANTIZE={int8,w8} directly (ops/quant.py)
+        quantize=os.environ.get(
+            "PHNET_BENCH_QUANTIZE",
+            "int8" if os.environ.get("PHNET_BENCH_INT8") else "none"))
     model = PHNet(cfg)
 
     video_frames = 100  # VIL-100 clip length

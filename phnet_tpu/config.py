@@ -216,9 +216,12 @@ class ModelConfig:
     org_size: Optional[Tuple[int, int]] = None  # OL fixed (1280, 1920)
     # compute dtype for backbone/head matmuls ("bfloat16" or "float32")
     compute_dtype: str = "float32"
-    # inference-only quantization: "none" or "int8" — w8a8 dynamic int8 on
-    # the DynamicConv generator chains (the detect scan's FLOPs bulk),
-    # riding the MXU's double-rate s8 path; see ops/quant.py
+    # inference-only quantization of the DynamicConv generator chains (the
+    # detect scan's FLOPs + weight-bytes bulk); see ops/quant.py:
+    #   "int8" — w8a8 dynamic int8 on the MXU's double-rate s8 path
+    #   "w8"   — weight-only int8, dequantized in-register into the bf16
+    #            dot (halves the scan's HBM weight reads, no activation
+    #            quantization; the lever for the weight-BW-bound B=1 scan)
     quantize: str = "none"
     # NMS implementation: "auto" (pallas on TPU, pure-jax elsewhere),
     # "pallas", or "jax"

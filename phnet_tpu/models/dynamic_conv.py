@@ -80,8 +80,10 @@ class DynamicConv(nn.Module):
     # reference's dynamic_layer_1 is Linear(outplanes, ...),
     # dynamic_head.py:72) which degrades to hidden_dim in V1
     dtype: jnp.dtype = jnp.float32
-    quantize: bool = False  # w8a8 dynamic int8 on the affine chains
-    # (ops/quant.py) — the MXU's double-rate path; inference-only
+    quantize: str = "none"  # "int8" = w8a8 dynamic int8 (MXU s8 path);
+    # "w8" = weight-only int8, dequantized in-register into the bf16 dot
+    # (halves the scan's HBM weight reads, no activation-quant cost).
+    # Both inference-only (ops/quant.py).
 
     def setup(self):
         c = self.hidden_dim
@@ -112,12 +114,13 @@ class DynamicConv(nn.Module):
         """Collapsed (kernel, bias) per chain where the collapse wins; the
         caller evaluates this once OUTSIDE the temporal scan.
 
-        Quantized modules return a dict per chain instead, carrying the
-        PRE-QUANTIZED int8 kernels + scales for every chain (collapsed:
-        ``{"wq","sw","b"}``; factored: ``{"wq1","sw1","b1","wq2","sw2",
-        "b2"}``) — weight quantization is loop-invariant, so hoisting it
-        here leaves only the activation absmax inside the scan."""
-        if self.quantize:
+        Quantized modules ("int8" and "w8" alike) return a dict per chain
+        instead, carrying the PRE-QUANTIZED int8 kernels + scales for every
+        chain (collapsed: ``{"wq","sw","b"}``; factored: ``{"wq1","sw1",
+        "b1","wq2","sw2","b2"}``) — weight quantization is loop-invariant,
+        so hoisting it here leaves only the activation absmax ("int8") or
+        nothing at all ("w8") inside the scan."""
+        if self.quantize != "none":
             from ..ops.quant import quantize_colwise
 
             out = {}
@@ -150,16 +153,30 @@ class DynamicConv(nn.Module):
         15x) while keeping the second generator factored
         (4608->1024->8192). ``pre`` supplies the collapsed (kernel, bias)
         computed outside the scan (see module docstring)."""
-        if self.quantize:
-            from ..ops.quant import int8_affine, int8_matmul_prequant
+        if self.quantize != "none":
+            from ..ops.quant import (
+                int8_affine, int8_matmul_prequant, quantize_colwise,
+                w8_matmul_prequant)
 
+            mm = (w8_matmul_prequant if self.quantize == "w8"
+                  else int8_matmul_prequant)
             if pre is not None and "wq" in pre:  # hoisted, collapsed
-                return (int8_matmul_prequant(x, pre["wq"], pre["sw"])
+                return (mm(x, pre["wq"], pre["sw"])
                         + pre["b"]).astype(self.dtype)
             if pre is not None:  # hoisted, factored
-                y = int8_matmul_prequant(x, pre["wq1"], pre["sw1"]) + pre["b1"]
-                return (int8_matmul_prequant(y, pre["wq2"], pre["sw2"])
+                y = mm(x, pre["wq1"], pre["sw1"]) + pre["b1"]
+                return (mm(y, pre["wq2"], pre["sw2"])
                         + pre["b2"]).astype(self.dtype)
+            if self.quantize == "w8":  # inline fallback (tests / no hoist)
+                if _collapse_wins(x.shape[-1], pa["kernel"].shape[1],
+                                  pb["kernel"].shape[1]):
+                    w, b = self._combine(pa, pb)
+                    wq, sw = quantize_colwise(w)
+                    return (mm(x, wq, sw) + b).astype(self.dtype)
+                wq1, sw1 = quantize_colwise(pa["kernel"])
+                wq2, sw2 = quantize_colwise(pb["kernel"])
+                y = mm(x, wq1, sw1) + pa["bias"]
+                return (mm(y, wq2, sw2) + pb["bias"]).astype(self.dtype)
             if _collapse_wins(x.shape[-1], pa["kernel"].shape[1],
                               pb["kernel"].shape[1]):
                 w, b = self._combine(pa, pb)

@@ -179,7 +179,7 @@ class LaneHead(nn.Module):
                 # stage's decode_feat
                 pro_dim=(h.prior_feat_channels if s == 0 else h.fc_hidden_dim),
                 dtype=compute_dtype,
-                quantize=self.cfg.quantize == "int8",
+                quantize=self.cfg.quantize,
                 name=f"dyn_head_{s}",
             )
             for s in range(h.refine_layers)

@@ -110,7 +110,7 @@ class MultiScaleLaneHead(nn.Module):
                 out_dim=d,
                 out_hidden=2 * d,
                 pro_dim=d,  # pro_embedding / previous decode_feat width
-                quantize=self.cfg.quantize == "int8",
+                quantize=self.cfg.quantize,
                 name=f"dyn_head_{s}",
             )
             for s in range(h.refine_layers)

@@ -77,6 +77,26 @@ def int8_matmul_prequant(x: jnp.ndarray, wq: jnp.ndarray,
     return acc.astype(jnp.float32) * sx * sw
 
 
+def w8_matmul_prequant(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
+                       ) -> jnp.ndarray:
+    """Weight-only int8 (w8a16): x [..., K] bf16/f32 against an
+    ALREADY-quantized kernel (wq int8 [K, N], sw f32 [N]). The kernel
+    dequantizes IN-REGISTER into the dot's operand (int8 -> bf16 is exact
+    for |v| <= 127; XLA fuses the convert into the matmul read), so the
+    per-frame HBM traffic is the int8 bytes — half of bf16 — while the
+    matmul itself runs the ordinary bf16 MXU path with f32 accumulation.
+    Unlike :func:`int8_matmul_prequant` there is NO activation
+    quantization: nothing extra runs inside the temporal scan, and the
+    numerics are strictly tighter than w8a8 (weights-only rounding).
+    The per-column scale is applied to the f32 accumulator."""
+    acc = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return acc * sw
+
+
 def int8_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """x [..., K] f32/bf16 @ w [K, N] f32 with dynamic w8a8: int8 MXU
     matmul, int32 accumulation, f32 rescale. Returns [..., N] f32."""

@@ -35,8 +35,13 @@ def main():
     ap.add_argument("--synthetic-videos", type=int, default=2)
     ap.add_argument("--synthetic-frames", type=int, default=8)
     ap.add_argument("--int8", action="store_true",
-                    help="w8a8 dynamic int8 on the DynamicConv chains "
-                         "(MXU double-rate path; inference-only)")
+                    help="shorthand for --quantize int8")
+    ap.add_argument("--quantize", choices=("none", "int8", "w8"),
+                    default="none",
+                    help="DynamicConv-chain quantization: int8 = dynamic "
+                         "w8a8 (MXU s8 path), w8 = weight-only int8 "
+                         "(halves the scan's HBM weight reads); "
+                         "inference-only")
     ap.add_argument(
         "--variant", choices=("single", "multiscale", "propagate"),
         default="single",
@@ -110,9 +115,11 @@ def main():
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     if args.int8:
+        args.quantize = "int8"
+    if args.quantize != "none":
         # inference-only: the training/init paths above stay f32
         cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
+            cfg, model=dataclasses.replace(cfg.model, quantize=args.quantize))
     pipe = InferencePipeline(
         cfg, variables, chunk=chunk,
         memory_window=cfg.model.memory.window,

@@ -35,9 +35,16 @@ def main():
                     help="synthetic smoke: overfit N steps before testing")
     ap.add_argument("--evaluate", action="store_true")
     ap.add_argument("--int8", action="store_true",
-                    help="w8a8 dynamic int8 on the DynamicConv chains "
-                         "(MXU double-rate path; inference-only)")
+                    help="shorthand for --quantize int8")
+    ap.add_argument("--quantize", choices=("none", "int8", "w8"),
+                    default="none",
+                    help="DynamicConv-chain quantization: int8 = dynamic "
+                         "w8a8 (MXU s8 path), w8 = weight-only int8 "
+                         "(halves the scan's HBM weight reads); "
+                         "inference-only")
     args = ap.parse_args()
+    if args.int8:
+        args.quantize = "int8"
 
     import dataclasses
 
@@ -118,10 +125,10 @@ def main():
                       flush=True)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    if args.int8:
+    if args.quantize != "none":
         # inference-only: the training/init paths above stay f32
         cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
+            cfg, model=dataclasses.replace(cfg.model, quantize=args.quantize))
     pipe = InferencePipeline(cfg, variables, chunk=chunk)
     stats = pipe.run_and_emit(
         dataset, args.pred_dir, args.anno_dir, fmt="vil", verbose=True)

@@ -94,22 +94,24 @@ def test_synthetic_overfit_f1_floor(tmp_path):
     assert agg["F1"] >= 0.9, agg
     assert agg["miou"] >= 0.75, agg
 
-    # the int8-quantized serving path (ops/quant.py) must clear the same
-    # floor with the SAME weights — quantization noise is renormalized by
-    # the chain LayerNorms and must not cost detection quality
-    cfg_q = dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, quantize="int8"))
-    pred_q = str(tmp_path / "pred_q")
-    pipe_q = InferencePipeline(cfg_q, variables, chunk=4)
-    stats_q = pipe_q.run_and_emit(ds, pred_q, None, fmt="vil")
-    assert stats_q["frames"] == 4
-    results_q = []
-    for pf in sorted(glob.glob(os.path.join(pred_q, "*", "*.lines.txt"))):
-        af = pf.replace(pred_q, anno_dir)
-        results_q.append(culane_metric(
-            read_lines_txt(pf), read_lines_txt(af), (H, W, 3)))
-    agg_q = aggregate_results(results_q)
-    assert agg_q["F1"] >= 0.9, agg_q
+    # both quantized serving paths (ops/quant.py: w8a8 "int8" and
+    # weight-only "w8") must clear the same floor with the SAME weights —
+    # quantization noise is renormalized by the chain LayerNorms and must
+    # not cost detection quality
+    for mode in ("int8", "w8"):
+        cfg_q = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quantize=mode))
+        pred_q = str(tmp_path / f"pred_{mode}")
+        pipe_q = InferencePipeline(cfg_q, variables, chunk=4)
+        stats_q = pipe_q.run_and_emit(ds, pred_q, None, fmt="vil")
+        assert stats_q["frames"] == 4
+        results_q = []
+        for pf in sorted(glob.glob(os.path.join(pred_q, "*", "*.lines.txt"))):
+            af = pf.replace(pred_q, anno_dir)
+            results_q.append(culane_metric(
+                read_lines_txt(pf), read_lines_txt(af), (H, W, 3)))
+        agg_q = aggregate_results(results_q)
+        assert agg_q["F1"] >= 0.9, (mode, agg_q)
 
 
 def quality_cfg_ol():

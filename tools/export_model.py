@@ -33,9 +33,15 @@ def main():
     ap.add_argument("--platforms", nargs="*", default=None,
                     help="lowering platforms, e.g. --platforms tpu cpu")
     ap.add_argument("--int8", action="store_true",
-                    help="bake the w8a8 dynamic-int8 serving graph into "
-                         "the artifact (MXU double-rate path)")
+                    help="shorthand for --quantize int8")
+    ap.add_argument("--quantize", choices=("none", "int8", "w8"),
+                    default="none",
+                    help="bake a quantized serving graph into the "
+                         "artifact: int8 = dynamic w8a8 (MXU s8 path), "
+                         "w8 = weight-only int8 (halves HBM weight reads)")
     args = ap.parse_args()
+    if args.int8:
+        args.quantize = "int8"
 
     import jax
     import jax.numpy as jnp
@@ -82,14 +88,15 @@ def main():
               "(no --checkpoint / --torch-checkpoint)", file=sys.stderr)
 
     mcfg = cfg.model
-    if args.int8:
-        mcfg = dataclasses.replace(mcfg, quantize="int8")
+    if args.quantize != "none":
+        mcfg = dataclasses.replace(mcfg, quantize=args.quantize)
     platforms = tuple(args.platforms) if args.platforms else None
     out = export_serving_step(
         mcfg, variables, args.out, batch=args.batch,
         memory_window=args.window, platforms=platforms)
     print(f"exported {args.preset} serving step (batch={args.batch}"
-          f"{', int8' if args.int8 else ''}) -> {out}")
+          f"{', ' + args.quantize if args.quantize != 'none' else ''})"
+          f" -> {out}")
 
 
 if __name__ == "__main__":

@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--window", type=int, default=100)
     ap.add_argument("--ol", action="store_true",
                     help="OpenLane preset instead of VIL-100")
+    ap.add_argument("--quantize", choices=("none", "int8", "w8"),
+                    default="none",
+                    help="A/B the quantized DynamicConv chains (w8 halves "
+                         "the weight bytes the weight-bound scan re-reads)")
     args = ap.parse_args(argv)
 
     import jax
@@ -53,7 +57,8 @@ def main(argv=None):
     from phnet_tpu.models.phnet import init_memory
 
     base = openlane_config() if args.ol else vil100_config()
-    cfg = dataclasses.replace(base.model, compute_dtype="bfloat16")
+    cfg = dataclasses.replace(base.model, compute_dtype="bfloat16",
+                              quantize=args.quantize)
     model = PHNet(cfg)
 
     rng = np.random.default_rng(0)
@@ -98,6 +103,7 @@ def main(argv=None):
             "tick_ms": round(wall / args.ticks * 1e3, 3),
             "sync_rtt_ms": round(rtt_s * 1e3, 2),
             "preset": "ol" if args.ol else "vil",
+            "quantize": args.quantize,
         }), flush=True)
 
 
