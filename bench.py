@@ -91,6 +91,10 @@ def main():
         quantize=os.environ.get(
             "PHNET_BENCH_QUANTIZE",
             "int8" if os.environ.get("PHNET_BENCH_INT8") else "none"))
+    if cfg.quantize not in ("none", "int8", "w8"):
+        raise SystemExit(
+            "PHNET_BENCH_QUANTIZE must be one of none/int8/w8, got %r"
+            % (cfg.quantize,))
     model = PHNet(cfg)
 
     video_frames = 100  # VIL-100 clip length

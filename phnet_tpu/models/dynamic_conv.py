@@ -86,6 +86,10 @@ class DynamicConv(nn.Module):
     # Both inference-only (ops/quant.py).
 
     def setup(self):
+        if self.quantize not in ("none", "int8", "w8"):
+            raise ValueError(
+                "quantize must be one of 'none', 'int8', 'w8'; got %r"
+                % (self.quantize,))
         c = self.hidden_dim
         d = c * self.dim_factor
         num_params = c * d

@@ -57,8 +57,12 @@ def _suppression_matrix(proposals: jnp.ndarray, thresh: float,
     n_strips = n_offsets - 1
     start = jnp.trunc(proposals[:, 2] * n_strips + 0.5).astype(jnp.int32)  # [A]
     length = proposals[:, 4]
-    end = start + jnp.trunc(
-        length - 1.0 + 0.5 - (length - 1.0 < 0).astype(length.dtype)
+    # the CUDA kernel truncates the WHOLE expression once (`const int end_a
+    # = start_a + a[4] - 1 + 0.5 - ...`, nms_kernel.cu:32) — truncating only
+    # the length part is off by one for lengths < 1 strip
+    end = jnp.trunc(
+        start.astype(length.dtype) + length - 0.5
+        - (length - 1.0 < 0).astype(length.dtype)
     ).astype(jnp.int32)
     end = jnp.minimum(end, n_offsets - 1)
 

@@ -107,8 +107,10 @@ def lane_nms_pallas(
     n_strips = n_offsets - 1
     starts = jnp.trunc(props[:, 2] * n_strips + 0.5).astype(jnp.int32)
     length = props[:, 4]
-    ends = starts + jnp.trunc(
-        length - 1.0 + 0.5 - (length - 1.0 < 0).astype(length.dtype)
+    # whole-expression trunc, matching nms_kernel.cu:32 (see ops/nms.py)
+    ends = jnp.trunc(
+        starts.astype(length.dtype) + length - 0.5
+        - (length - 1.0 < 0).astype(length.dtype)
     ).astype(jnp.int32)
     ends = jnp.minimum(ends, n_offsets - 1)
     xs = props[:, 5 : 5 + n_offsets].astype(jnp.float32)

@@ -16,9 +16,16 @@ roofline, so the only way further is a faster unit). This module provides
 No calibration pass, no quantized checkpoint format: weights stay f32 in
 storage and are quantized in-graph (a [K,N] absmax+round is negligible
 next to the [A,K]@[K,N] matmul it feeds — and XLA fuses it into the
-operand's producer). Enable with ``ModelConfig.quantize="int8"``;
-inference-only (the round() has no useful gradient — training guards
-against it).
+operand's producer). Two modes, both inference-only (the round() has no
+useful gradient — training guards against them):
+
+- ``ModelConfig.quantize="int8"`` — w8a8: weights AND activations int8,
+  the dot runs on the MXU's double-rate s8 path. The FLOP-rate lever, for
+  batch-heavy serving where the chains are compute-bound.
+- ``ModelConfig.quantize="w8"`` — weight-only: int8 weights are
+  dequantized in-register into the bf16 dot (``w8_matmul_prequant``); no
+  activation quantization cost inside the scan. The HBM-bandwidth lever
+  for the weight-read-bound B=1 detect scan (halves the weight bytes).
 
 LayerNorms after every generator matmul renormalize the quantization
 error, which is why the head tolerates w8a8 on these chains (verified by

@@ -115,6 +115,8 @@ def main():
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     if args.int8:
+        if args.quantize not in ("none", "int8"):
+            ap.error("--int8 conflicts with --quantize %s" % args.quantize)
         args.quantize = "int8"
     if args.quantize != "none":
         # inference-only: the training/init paths above stay f32

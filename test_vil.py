@@ -44,6 +44,8 @@ def main():
                          "inference-only")
     args = ap.parse_args()
     if args.int8:
+        if args.quantize not in ("none", "int8"):
+            ap.error("--int8 conflicts with --quantize %s" % args.quantize)
         args.quantize = "int8"
 
     import dataclasses

@@ -95,12 +95,13 @@ def test_export_ol_layout(tmp_path):
     assert len(lanes) == 1 and isinstance(lanes[0], list)
 
 
-def test_export_int8_artifact(tmp_path):
-    """The quantized serving graph (s8 dot_generals) must survive the
-    export/deserialize roundtrip and tick."""
+@pytest.mark.parametrize("mode", ["int8", "w8"])
+def test_export_quantized_artifact(tmp_path, mode):
+    """Both quantized serving graphs (w8a8 s8 dot_generals and weight-only
+    int8 dequant) must survive the export/deserialize roundtrip and tick."""
     import dataclasses
 
-    mcfg = dataclasses.replace(tiny_cfg(window=4), quantize="int8")
+    mcfg = dataclasses.replace(tiny_cfg(window=4), quantize=mode)
     model = PHNet(mcfg)
     frames0 = jnp.zeros((1, 1, mcfg.img_h, mcfg.img_w, 3))
     variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(

@@ -75,6 +75,31 @@ def test_lane_nms_matches_reference_semantics(seed):
     assert sorted(np.nonzero(np.array(keep_mask))[0].tolist()) == sorted(expected)
 
 
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_lane_nms_short_lengths(seed):
+    """Degenerate proposals with length < 1 strip: the CUDA kernel
+    truncates `start + len - 1 + 0.5 - (len-1<0)` as ONE expression
+    (nms_kernel.cu:32); per-part truncation is off by one exactly here."""
+    rng = np.random.default_rng(seed)
+    n_offsets, a, top_k = 36, 32, 8
+    proposals = np.zeros((a, 5 + n_offsets), dtype=np.float32)
+    proposals[:, 2] = rng.uniform(0, 0.6, a)
+    proposals[:, 4] = rng.uniform(0.0, 2.0, a)  # mostly sub-strip lengths
+    base = rng.uniform(0, 700, (a, 1))
+    proposals[:, 5:] = base + rng.normal(0, 10, (a, n_offsets))
+    scores = rng.uniform(0, 1, a).astype(np.float32)
+    valid = scores >= 0.2
+
+    keep_idx, num_kept, _ = lane_nms(
+        jnp.array(proposals), jnp.array(scores), jnp.array(valid),
+        thresh=15.0, n_offsets=n_offsets, top_k=top_k,
+    )
+    expected = _nms_oracle(proposals, scores, valid, 15.0, n_offsets, top_k)
+    got = [int(i) for i in np.array(keep_idx) if i >= 0]
+    assert got == expected
+    assert int(num_kept) == len(expected)
+
+
 def test_lane_nms_no_valid():
     n_offsets, a = 36, 16
     proposals = jnp.zeros((a, 5 + n_offsets))

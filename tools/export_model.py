@@ -41,6 +41,8 @@ def main():
                          "w8 = weight-only int8 (halves HBM weight reads)")
     args = ap.parse_args()
     if args.int8:
+        if args.quantize not in ("none", "int8"):
+            ap.error("--int8 conflicts with --quantize %s" % args.quantize)
         args.quantize = "int8"
 
     import jax
