@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from test_reference_parity import (  # noqa: F401  (ref/ref_models fixtures)
     HP, IMG_H, IMG_W, N_OFFSETS, _export_head_weights, _our_head_cfg,
-    _ref_cfg, ref, ref_models, _stub,
+    _ref_cfg, ref, ref_models, ref_ol_models, _stub,
 )
 
 from phnet_tpu.config import LossConfig, TestParams
@@ -435,3 +435,264 @@ def test_clip_train_parity(ref, ref_models):
     np.testing.assert_allclose(
         float(our_loss), float(ref_loss) / T, rtol=1e-5,
         err_msg="clip loss")
+
+
+# ---------------------------------------------------------------------------
+# OpenLane variant: bounded memory window + soft routing, vs the actual
+# reference RouterOL.forward (Router4OL.py:515-583). Weights flow in the
+# import direction (torch init -> import_head_state_dict), covering the OL
+# layout (single length, separate offset head, learned position embedding).
+# ---------------------------------------------------------------------------
+OL_T = 6
+OL_WINDOW = 3   # save_freq_max: small so the pop-oldest path is exercised
+OL_MAX_LANES = 4
+
+
+def _build_ol_pair(ref, ref_ol_models, train):
+    torch = ref.torch
+    ref_ol_models.nms = _make_torch_nms(torch)
+
+    from phnet_tpu.config import (
+        BackboneConfig, HeadConfig, LaneSpec, MemoryConfig, ModelConfig,
+        NeckConfig,
+    )
+    from phnet_tpu.utils.torch_import import import_head_state_dict
+
+    cfg = ModelConfig(
+        img_h=IMG_H, img_w=IMG_W,
+        lane=LaneSpec(n_offsets=N_OFFSETS, n_lengths=1),
+        backbone=BackboneConfig(), neck=NeckConfig(),
+        head=HeadConfig(
+            num_priors=HP["num_priors"], sample_points=HP["sample_points"],
+            fc_hidden_dim=HP["fc_hidden_dim"],
+            prior_feat_channels=HP["prior_feat_channels"],
+            refine_layers=HP["refine_layers"], num_fc=2,
+            decoder_layers=2, decoder_heads=8, decoder_ffn_dim=256,
+            decoder_dropout=0.0, pos_encoding="learned",
+            separate_offset_head=True,
+        ),
+        memory=MemoryConfig(window=OL_WINDOW, slots_per_frame=5),
+        test=TestParams(conf_threshold=CONF, nms_thres=NMS_THRES,
+                        nms_topk=OL_MAX_LANES),
+        max_lanes=OL_MAX_LANES, routing="soft", nms_backend="jax",
+    )
+    model = PHNet(cfg)
+
+    rng = np.random.default_rng(11)
+    c = HP["prior_feat_channels"]
+    feats = tuple(
+        jax.image.resize(
+            jnp.array(rng.normal(size=(OL_T, 1, 6, 12, c)), jnp.float32),
+            (OL_T, 1, hh, ww, c), method="linear")
+        for hh, ww in SIZES
+    )
+
+    n_meta = 5 + 1
+    dim = n_meta + N_OFFSETS
+    labels = np.full((1, OL_T, OL_MAX_LANES, dim), -1e5, np.float32)
+    labels[..., 0] = 1.0
+    labels[..., 1] = 0.0
+    for t, n_valid in enumerate([2, 0, 3, 1, 2, 3][:OL_T]):
+        for i in range(n_valid):
+            labels[0, t, i, :2] = (0.0, 1.0)
+            labels[0, t, i, 2] = rng.uniform(0, 0.2)
+            labels[0, t, i, 3] = rng.uniform(0.1, 0.9)
+            labels[0, t, i, 4] = rng.uniform(0.3, 0.7)
+            labels[0, t, i, 5] = rng.uniform(0.3, 0.9)
+            n_rows = int(rng.integers(16, N_OFFSETS))
+            labels[0, t, i, n_meta:n_meta + n_rows] = np.sort(
+                rng.uniform(1, IMG_W - 2, n_rows))
+    labels = jnp.asarray(labels)
+
+    # reference DetNetV2 with a pinned torch init; import its weights
+    ref_cfg = types.SimpleNamespace(
+        img_w=IMG_W, img_h=IMG_H, num_points=N_OFFSETS,
+        num_priors=HP["num_priors"], max_lanes=OL_MAX_LANES,
+        test_parameters=types.SimpleNamespace(
+            conf_threshold=CONF, nms_thres=NMS_THRES))
+    torch.manual_seed(0)
+    det = ref_ol_models.DetNetV2(
+        prior_feat_channels=c, fc_hidden_dim=HP["fc_hidden_dim"], num_fc=2,
+        refine_layers=HP["refine_layers"],
+        sample_points=HP["sample_points"], cfg=ref_cfg)
+    sd = {k: v.numpy() for k, v in det.state_dict().items()}
+
+    import flax
+
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, labels, train=train, method=PHNet.detect)
+    variables = flax.core.unfreeze(variables)
+    head_params = import_head_state_dict(sd)
+    want = jax.tree_util.tree_structure(variables["params"]["frame"]["head"])
+    got = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(np.asarray, head_params))
+    assert want == got, "imported OL param tree mismatch"
+    variables["params"]["frame"]["head"] = head_params
+
+    clip = ref_ol_models.RouterOL.__new__(ref_ol_models.RouterOL)
+    torch.nn.Module.__init__(clip)
+    t_feats = [torch.tensor(np.asarray(f).squeeze(1).transpose(0, 3, 1, 2))
+               for f in feats]
+
+    class _Injector(torch.nn.Module):
+        def forward(self, frame):
+            return t_feats
+
+    clip.backbone = _Injector()
+    clip.detNet = det
+    clip.criterion = None
+    clip.save_freq_max = OL_WINDOW
+    clip.crop_size = 480
+    clip.org_size = (1280, 1920)
+
+    if train:
+        from libs.utils.loss4OLV3 import Criterion4OL
+
+        clip.criterion = Criterion4OL(_ref_cfg(
+            1, cls_weight=8.0, reg_weight=0.5, iou_weight=1.5))
+        clip.train()
+        for mod in clip.modules():
+            if isinstance(mod, torch.nn.Dropout):
+                mod.p = 0.0
+        det.transformer_Dec.eval()  # fused SDPA path, see _build_pair
+    else:
+        clip.eval()
+
+    inputs = {
+        "frame": torch.zeros(OL_T, 3, IMG_H, IMG_W),
+        "lanes": torch.tensor(np.asarray(labels[0])),
+    }
+    return cfg, model, variables, feats, labels, clip, inputs
+
+
+def test_ol_clip_eval_parity(ref, ref_ol_models):
+    """OL eval clip: soft routing + NMS keeps + the BOUNDED memory window
+    (append then pop-oldest past save_freq_max, ``Router4OL.py:555-556``)
+    must match our ring buffer frame by frame."""
+    torch = ref.torch
+    cfg, model, variables, feats, labels, clip, inputs = _build_ol_pair(
+        ref, ref_ol_models, train=False)
+    rec = _Recorder(clip)
+
+    with torch.no_grad():
+        ref_out = clip(inputs)
+    assert len(ref_out["lane_lines"]) == OL_T
+
+    mem0 = init_memory(cfg, 1, OL_WINDOW)
+    outs, final_mem = model.apply(
+        variables, feats, None, train=False, initial_memory=mem0,
+        method=PHNet.detect)
+
+    kept = np.asarray(outs.kept)
+    num_kept = np.asarray(outs.num_kept)
+    s_stages = HP["refine_layers"]
+    saw_keeps = 0
+    for t in range(OL_T):
+        routed_ref, keep_inds, keep = rec.get_lanes_io[t]
+        keep_np = (keep.numpy() if hasattr(keep, "numpy")
+                   else np.asarray(keep, np.int64))
+        gk = np.where(keep_inds.numpy())[0][keep_np]
+        n_ref = len(gk)
+        assert num_kept[t, 0] == n_ref, f"frame {t} keep count"
+        saw_keeps += n_ref
+        kept_ref = routed_ref.numpy()[gk]
+        np.testing.assert_allclose(
+            kept[t, 0, :n_ref, :6], kept_ref[:, :6],
+            rtol=5e-4, atol=5e-4, err_msg=f"frame {t} kept rows hdr")
+        np.testing.assert_allclose(
+            kept[t, 0, :n_ref, 6:], kept_ref[:, 6:],
+            rtol=2e-3, atol=2e-3, err_msg=f"frame {t} kept rows xs")
+
+        # the ring only retains the last OL_WINDOW frames (= what the
+        # reference's pop-oldest list holds at the end of the clip)
+        if t >= OL_T - OL_WINDOW:
+            ref_mem = rec.memory[t]
+            mem_tol = 8e-3
+            for s in range(s_stages):
+                rmem = ref_mem[s].numpy()[:, 0, :]
+                ours_pos, ours_neg = _ring_rows(
+                    final_mem, s, t % OL_WINDOW, cfg.max_lanes)
+                assert len(ours_pos) == len(rmem) - 1, f"frame {t} stage {s}"
+                np.testing.assert_allclose(
+                    ours_pos[np.argsort(gk)], rmem[:-1],
+                    rtol=mem_tol, atol=mem_tol,
+                    err_msg=f"frame {t} stage {s} memory positives")
+                np.testing.assert_allclose(
+                    ours_neg, rmem[-1], rtol=mem_tol, atol=mem_tol,
+                    err_msg=f"frame {t} stage {s} memory negative")
+    assert saw_keeps > 0
+
+
+def test_ol_clip_train_parity(ref, ref_ol_models):
+    """OL train clip: per-stage predictions, matched sets, windowed memory,
+    and the clip loss vs RouterOL + its shipped Criterion4OL."""
+    torch = ref.torch
+    cfg, model, variables, feats, labels, clip, inputs = _build_ol_pair(
+        ref, ref_ol_models, train=True)
+    rec = _Recorder(clip)
+
+    with torch.no_grad():
+        ref_loss = clip(inputs)
+
+    mem0 = init_memory(cfg, 1, OL_WINDOW)
+    outs, final_mem = model.apply(
+        variables, feats, labels, train=True, initial_memory=mem0,
+        rngs={"dropout": jax.random.key(2)}, method=PHNet.detect)
+
+    s_stages = HP["refine_layers"]
+    for t in range(OL_T):
+        out_ref, diff_ref = rec.det_outs[t]
+        # frame-0 floor is 1e-4 here (vs 1e-5 in the VIL test): the OL test
+        # imports torch-initialized weights, whose f32 rounding differs
+        # slightly from the export direction
+        hdr_tol, xs_tol = (1e-4, 1e-4) if t == 0 else (5e-4, 3e-3)
+        for s in range(s_stages):
+            _assert_mostly_close(
+                outs.diff[t, s], diff_ref[s].squeeze(-1).numpy(),
+                tol=hdr_tol, max_frac=0.0, hard_cap=1e-3,
+                msg=f"frame {t} diff stage {s}")
+            for name, ours_p, ref_p in (
+                    ("fir", outs.pred_fir[t, s],
+                     out_ref["predictions_fir"][s]),
+                    ("sec", outs.pred_sec[t, s],
+                     out_ref["predictions_sec"][s])):
+                ours_p = np.asarray(ours_p)
+                ref_p = ref_p.numpy()
+                np.testing.assert_allclose(
+                    ours_p[..., :6], ref_p[..., :6], rtol=hdr_tol,
+                    atol=hdr_tol, err_msg=f"frame {t} {name} hdr stage {s}")
+                np.testing.assert_allclose(
+                    ours_p[..., 6:], ref_p[..., 6:], rtol=xs_tol,
+                    atol=xs_tol, err_msg=f"frame {t} {name} xs stage {s}")
+
+        valid_t = np.asarray(labels[0, t, :, 1] == 1.0)
+        for s in range(s_stages):
+            ours_m = np.asarray(outs.matched_sec[t, s, 0])[valid_t]
+            ref_m = np.sort(rec.matched[t][s].astype(np.int64))
+            assert np.array_equal(np.sort(ours_m), ref_m), (
+                f"frame {t} stage {s} matched anchors: "
+                f"{np.sort(ours_m)} vs {ref_m}")
+            if t < OL_T - OL_WINDOW:
+                continue  # slot overwritten by a later frame
+            rmem = rec.memory[t][s].numpy()[:, 0, :]
+            ours_pos, ours_neg = _ring_rows(
+                final_mem, s, t % OL_WINDOW, cfg.max_lanes)
+            assert len(rmem) - 1 == len(ours_pos), f"frame {t} stage {s}"
+            tol = 1e-4 if t == 0 else 5e-4
+            _assert_mostly_close(
+                ours_pos[np.argsort(ours_m)], rmem[:-1],
+                tol=tol, max_frac=0.0, hard_cap=0.01,
+                msg=f"frame {t} stage {s} memory positives")
+            _assert_mostly_close(
+                ours_neg, rmem[-1], tol=tol, max_frac=0.0, hard_cap=0.01,
+                msg=f"frame {t} stage {s} memory negative")
+
+    from phnet_tpu.config import LossConfig as LC
+    criterion = LaneCriterion(cfg, LC(
+        cls_weight=8.0, reg_weight=0.5, iou_weight=1.5,
+        focal_alpha=(0.1, 0.9), style="blend_cls", use_lane_iou=True))
+    our_loss, _ = criterion(outs, labels)
+    np.testing.assert_allclose(
+        float(our_loss), float(ref_loss) / OL_T, rtol=1e-5,
+        err_msg="OL clip loss")
