@@ -21,10 +21,17 @@ def temporal_metric_video(
     shapes: Sequence,
     width: int = 30,
     iou_threshold: float = 0.5,
+    match_threshold: float = 0.5,
 ) -> Tuple[int, int, int]:
     """One video: lists (per frame) of anno/pred lane point lists.
 
     Returns (Ns, Nj, Nm) summed over consecutive frame pairs.
+
+    ``match_threshold`` gates the GT-to-GT cross-frame matching and is
+    ALWAYS 0.5 in the reference — ``matching_lane_instance()`` is called
+    with its defaults even in the IoU-0.8 run
+    (``evalTemporalVIL.py:218,278``); only the prediction-correctness
+    check uses ``iou_threshold``.
     """
     ns = nj = nm = 0
     # per-frame anno->pred matching with full IoU matrices
@@ -38,7 +45,7 @@ def temporal_metric_video(
         row, col, ious = culane_match(
             annotations[t], annotations[t - 1], shape, width)
         keep = [
-            (r, c) for r, c in zip(row, col) if ious[r, c] > iou_threshold
+            (r, c) for r, c in zip(row, col) if ious[r, c] > match_threshold
         ]
         r1, c1, i1 = frame_results[t]
         r2, c2, i2 = frame_results[t - 1]
