@@ -133,6 +133,20 @@ def main():
     fps = n_videos * video_frames / sum(times)
     frame_ms_amortized = sum(times) / (n_videos * video_frames) * 1000.0
 
+    # ---- device-step latency: back-to-back chunks, ONE final sync -------
+    # frame_ms_amortized above pays one host->device round trip per video
+    # (large under the axon dev tunnel); this key pipelines n_videos worth
+    # of dispatches with carried memory and syncs once, so it approaches
+    # the pure device time per frame and stays comparable across rounds
+    # even if the tunnel fixture changes.
+    kept, nk, mem = run_chunk(variables, frames, mem)
+    np.array(nk)
+    t0 = time.time()
+    for _ in range(n_videos):
+        kept, nk, mem = run_chunk(variables, frames, mem)
+    np.array(nk)
+    device_frame_ms = (time.time() - t0) / (n_videos * video_frames) * 1000.0
+
     # ---- p50/p99 per-frame latency (chunk=1, sync every frame) ----------
     frame1 = frames[:, :1]
     run1 = jax.jit(run_chunk)
@@ -167,6 +181,7 @@ def main():
 
     # ---- training throughput (16-frame clip, full pipeline) -------------
     train_fps = None
+    train_mfu = None
     try:
         from phnet_tpu.losses import LaneCriterion
         from phnet_tpu.train import (
@@ -205,6 +220,18 @@ def main():
             state, m = step(state, t_frames, t_labels, jax.random.key(i))
         float(m["loss"])
         train_fps = 16 * n_steps / (time.time() - t0)
+        # train MFU: cost-analysis FLOPs of the whole jitted train step
+        # (fwd + criterion + bwd + AdamW) x measured steps/sec / bf16 peak
+        try:
+            tcomp = step.lower(state, t_frames, t_labels,
+                               jax.random.key(0)).compile()
+            tca = tcomp.cost_analysis()
+            tca = tca[0] if isinstance(tca, (list, tuple)) else tca
+            train_flops = float(tca.get("flops", 0.0))
+            if train_flops > 0:
+                train_mfu = train_flops * (train_fps / 16) / V5E_BF16_PEAK
+        except Exception:
+            pass
     except Exception:
         pass
 
@@ -265,11 +292,16 @@ def main():
         "p50_frame_latency_ms": round(p50, 2),
         "p99_frame_latency_ms": round(p99, 2),
         "frame_ms_amortized": round(frame_ms_amortized, 2),
+        # back-to-back dispatches, one final sync — approaches the pure
+        # per-frame device time and is robust to tunnel-fixture changes
+        "device_frame_ms": round(device_frame_ms, 3),
         "flops_per_frame_g": (round(flops_per_frame / 1e9, 2)
                               if flops_per_frame else None),
         "mfu_pct": round(mfu * 100, 2) if mfu is not None else None,
         "train_fps_16frame_clip": (round(train_fps, 2)
                                    if train_fps is not None else None),
+        "train_mfu_pct": (round(train_mfu * 100, 2)
+                          if train_mfu is not None else None),
         "openlane_fps": round(ol_fps, 2) if ol_fps is not None else None,
     }))
 

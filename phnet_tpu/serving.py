@@ -82,6 +82,24 @@ class StreamingServer:
         self.window = window
         self.memory = self._put_batched(
             init_memory(self.mcfg, max_streams, window))
+        # persistent device-resident frame batch: each tick transfers ONLY
+        # the streams that produced a frame (compacted, padded to a power
+        # of two for a bounded set of compile variants) and scatters them
+        # into this buffer on device — a 1-active-of-8 tick ships one
+        # frame, not max_streams mostly-zero ones. Inactive slots keep
+        # their stale frame; their outputs are ignored and their memory is
+        # mask-cleared on attach, so semantics match the zero-fill they
+        # replaced. The mesh path keeps the full-batch transfer: a scatter
+        # into a data-sharded operand lowers to cross-shard traffic that
+        # costs more than the H2D it saves.
+        self._frames_dev = None
+        if mesh is None:
+            self._frames_dev = jnp.zeros(
+                (max_streams, 1, self.mcfg.img_h, self.mcfg.img_w, 3),
+                jnp.float32)
+            self._scatter = jax.jit(
+                lambda buf, rows, sids: buf.at[sids].set(rows),
+                donate_argnums=(0,))
         self.active = np.zeros(max_streams, bool)
         # original-image decode geometry per stream
         self.stream_geo: List[Tuple[int, int]] = [(0, 0)] * max_streams
@@ -162,15 +180,30 @@ class StreamingServer:
         """
         mcfg = self.mcfg
         t0 = time.perf_counter()
-        batch = np.zeros(
-            (self.max_streams, 1, mcfg.img_h, mcfg.img_w, 3), np.float32)
-        for sid, frame in frames.items():
+        for sid in frames:
             assert self.active[sid], f"stream {sid} not attached"
-            batch[sid, 0] = frame
         if self.mesh is not None:
+            batch = np.zeros(
+                (self.max_streams, 1, mcfg.img_h, mcfg.img_w, 3), np.float32)
+            for sid, frame in frames.items():
+                batch[sid, 0] = frame
             batch = jax.device_put(batch, self._bsh)
         else:
-            batch = jnp.asarray(batch)
+            if frames:
+                sids = list(frames.keys())
+                k = len(sids)
+                k_pad = 1 << (k - 1).bit_length()  # bounded compile variants
+                rows = np.empty((k_pad, 1, mcfg.img_h, mcfg.img_w, 3),
+                                np.float32)
+                for i, sid in enumerate(sids):
+                    rows[i, 0] = frames[sid]
+                # pad rows repeat the last (sid, frame) pair: duplicate
+                # scatter indices write identical values — a no-op
+                rows[k:] = rows[k - 1]
+                idx = np.asarray(sids + [sids[-1]] * (k_pad - k), np.int32)
+                self._frames_dev = self._scatter(
+                    self._frames_dev, jnp.asarray(rows), jnp.asarray(idx))
+            batch = self._frames_dev
         kept, valid, self.memory = self._step(
             self.variables, batch, self.memory)
         self._tick_wall.append(time.perf_counter() - t0)
