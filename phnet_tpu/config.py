@@ -157,6 +157,20 @@ class HeadConfig:
     propagate_priors: bool = False
     ms_sample_points: Tuple[int, ...] = (24, 48, 96)
     ms_channels: Tuple[int, ...] = (64, 32, 16)
+    # evaluate the first refine stage's frame-local chain (pool -> router
+    # -> DynamicConv -> first branch) batched over ALL clip frames OUTSIDE
+    # the temporal scan: stage 0 sees only fixed priors + the frame's FPN
+    # level (no memory), so hoisting reads its weights once per clip
+    # instead of once per frame. MEASURED NEGATIVE on the v5e (2026-08-19,
+    # bench device_frame_ms 1.018 -> 1.327 ms/frame, train 157 -> 149
+    # clip-fps): inside the scan the per-frame [A, C*2C] generated-weight
+    # and pooling intermediates fit in VMEM and XLA fuses them (no HBM
+    # round trip), while the hoisted batched form must stream [T*A, C*2C]
+    # intermediates through HBM — costing more than the ~27 MB/frame of
+    # stage-0 weight re-reads it saves. Default off; kept because the
+    # equality is tested (tests/test_model.py hoist tests) and larger
+    # models (where weights outgrow intermediates) may want it.
+    stage0_hoist: bool = False
 
     @property
     def attn_dim(self) -> int:

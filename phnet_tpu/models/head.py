@@ -326,6 +326,50 @@ class LaneHead(nn.Module):
         ``dynamic_conv.py`` docstring)."""
         return tuple(dyn.combined_weights() for dyn in self.dyn_heads)
 
+    def _stage_local(self, s, level, priors, pro_feat, pos, train, combined):
+        """Frame-local work of one refine stage: pool anchor features,
+        router score, DynamicConv, first branch, attention features. No
+        memory dependence — for stage 0 (fixed priors) this is evaluable
+        outside the temporal scan (:meth:`stage0_forward`)."""
+        pooled = self._pool(level, priors)  # [B, A, P, C]
+        # router on stop-grad features (RouterV4.py:240)
+        diff = self.routers[s](
+            jax.lax.stop_gradient(jnp.swapaxes(pooled, -1, -2)),
+            train=train,
+        )[..., 0]  # [B, A]
+        decode_feat = self.dyn_heads[s](pro_feat, pooled, combined=combined)
+        fir_full, fir_lines = self._branch(decode_feat, self.heads_fir,
+                                           priors)
+        attn_feat = jnp.concatenate(
+            [decode_feat, jnp.broadcast_to(pos[None], decode_feat.shape)],
+            axis=-1,
+        )  # [B, A, 2C]
+        return diff, decode_feat, fir_full, fir_lines, attn_feat
+
+    def stage0_forward(self, level0, train=False, dyn_combined=None):
+        """Stage 0 batched over a flattened frame axis.
+
+        level0: [N, h, w, c] coarsest FPN level with N = T*B (any batching
+        works — stage 0 depends only on fixed priors + the frame's
+        features). The clip driver calls this ONCE per clip outside the
+        scan, so stage 0's weights (~1/3 of the per-frame weight reads
+        that bound the detect scan) stream from HBM once per clip instead
+        of once per frame, and its matmuls run at T*B*A rows (MXU-
+        efficient) instead of A."""
+        n = level0.shape[0]
+        h = self.cfg.head
+        priors = jnp.broadcast_to(
+            self.initial_priors()[None], (n, self.num_priors, self.spec.dim)
+        )
+        pro_feat = jnp.broadcast_to(
+            self.pro_embedding[None],
+            (n, self.num_priors, h.prior_feat_channels),
+        )
+        pos = self.pos_encoding()
+        return self._stage_local(
+            0, level0, priors, pro_feat, pos, train,
+            dyn_combined[0] if dyn_combined else None)
+
     # -- forward -----------------------------------------------------------
     def __call__(
         self,
@@ -334,6 +378,7 @@ class LaneHead(nn.Module):
         memory_mask: Optional[jnp.ndarray],
         train: bool = False,
         dyn_combined=None,
+        stage0=None,
     ) -> HeadOutputs:
         """One frame.
 
@@ -342,6 +387,8 @@ class LaneHead(nn.Module):
           ``RouterV4.py:218-220``).
         memory_values: [B, S, M, 2C] temporal memory bank per stage, or None.
         memory_mask: [B, M] validity of memory slots, or None.
+        stage0: optional per-frame slice of :meth:`stage0_forward`'s output
+          — skips recomputing stage 0's frame-local chain inside the scan.
         """
         h = self.cfg.head
         levels = tuple(reversed(fpn_feats))
@@ -363,29 +410,16 @@ class LaneHead(nn.Module):
 
         preds_fir, preds_sec, diffs, attn_feats = [], [], [], []
         for s in range(h.refine_layers):
-            pooled = self._pool(levels[s], priors)  # [B, A, P, C]
-
-            # router on stop-grad features (RouterV4.py:240)
-            diff = self.routers[s](
-                jax.lax.stop_gradient(jnp.swapaxes(pooled, -1, -2)),
-                train=train,
-            )[..., 0]  # [B, A]
+            if s == 0 and stage0 is not None:
+                diff, decode_feat, fir_full, fir_lines, attn_feat = stage0
+            else:
+                diff, decode_feat, fir_full, fir_lines, attn_feat = (
+                    self._stage_local(
+                        s, levels[s], priors, pro_feat, pos, train,
+                        dyn_combined[s] if dyn_combined else None))
             diffs.append(diff)
-
-            decode_feat = self.dyn_heads[s](
-                pro_feat, pooled,
-                combined=dyn_combined[s] if dyn_combined else None,
-            )  # [B, A, C]
             pro_feat = jax.lax.stop_gradient(decode_feat)  # iterative enhance
-
-            fir_full, fir_lines = self._branch(decode_feat, self.heads_fir,
-                                               priors)
             preds_fir.append(fir_full)
-
-            attn_feat = jnp.concatenate(
-                [decode_feat, jnp.broadcast_to(pos[None], decode_feat.shape)],
-                axis=-1,
-            )  # [B, A, 2C]
             attn_feats.append(attn_feat)
 
             decoded = self.temporal_decoder(

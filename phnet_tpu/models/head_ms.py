@@ -192,6 +192,35 @@ class MultiScaleLaneHead(nn.Module):
         outside the temporal scan; see ``dynamic_conv.py``)."""
         return tuple(dyn.combined_weights() for dyn in self.dyn_heads)
 
+    def _stage_local(self, s, level, priors, pro_feat, pos, combined):
+        """Frame-local work of one stage (pool, router, DynamicConv, first
+        branch) — no memory dependence; hoistable for stage 0."""
+        pooled = self._pool(level, priors, s)  # [B, A, P_s, C_s]
+        diff = self.routers[s](
+            jax.lax.stop_gradient(jnp.swapaxes(pooled, -1, -2))
+        )[..., 0]
+        decode_feat = self.dyn_heads[s](pro_feat, pooled, combined=combined)
+        fir_full, fir_lines = self._branch(
+            decode_feat, self.cls_fir, self.reg_fir, priors)
+        # additive positional encoding (Router4OLV2.py:268-270)
+        attn_feat = decode_feat + pos[None]
+        return diff, decode_feat, fir_full, fir_lines, attn_feat
+
+    def stage0_forward(self, level0, train=False, dyn_combined=None):
+        """Stage 0 batched over a flattened frame axis (see
+        ``LaneHead.stage0_forward`` — same hoist, multi-scale layout)."""
+        del train  # no dropout/BN in the stage-local chain
+        n = level0.shape[0]
+        d = self.cfg.head.fc_hidden_dim
+        priors = jnp.broadcast_to(
+            self.initial_priors()[None], (n, self.num_priors, self.spec.dim))
+        pro_feat = jnp.broadcast_to(
+            self.pro_embedding[None], (n, self.num_priors, d))
+        pos = self.pos_encoding()
+        return self._stage_local(
+            0, level0, priors, pro_feat, pos,
+            dyn_combined[0] if dyn_combined else None)
+
     def __call__(
         self,
         fpn_feats: Tuple[jnp.ndarray, ...],
@@ -199,6 +228,7 @@ class MultiScaleLaneHead(nn.Module):
         memory_mask: Optional[jnp.ndarray],
         train: bool = False,
         dyn_combined=None,
+        stage0=None,
     ) -> HeadOutputs:
         h = self.cfg.head
         levels = tuple(reversed(fpn_feats))
@@ -217,24 +247,16 @@ class MultiScaleLaneHead(nn.Module):
 
         preds_fir, preds_sec, diffs, attn_feats = [], [], [], []
         for s in range(h.refine_layers):
-            pooled = self._pool(levels[s], priors, s)  # [B, A, P_s, C_s]
-            diff = self.routers[s](
-                jax.lax.stop_gradient(jnp.swapaxes(pooled, -1, -2))
-            )[..., 0]
+            if s == 0 and stage0 is not None:
+                diff, decode_feat, fir_full, fir_lines, attn_feat = stage0
+            else:
+                diff, decode_feat, fir_full, fir_lines, attn_feat = (
+                    self._stage_local(
+                        s, levels[s], priors, pro_feat, pos,
+                        dyn_combined[s] if dyn_combined else None))
             diffs.append(diff)
-
-            decode_feat = self.dyn_heads[s](
-                pro_feat, pooled,
-                combined=dyn_combined[s] if dyn_combined else None,
-            )  # [B, A, D]
             pro_feat = jax.lax.stop_gradient(decode_feat)
-
-            fir_full, fir_lines = self._branch(
-                decode_feat, self.cls_fir, self.reg_fir, priors)
             preds_fir.append(fir_full)
-
-            # additive positional encoding (Router4OLV2.py:268-270)
-            attn_feat = decode_feat + pos[None]
             attn_feats.append(attn_feat)
 
             decoded = self.temporal_decoder(

@@ -155,6 +155,24 @@ class _FrameStep(nn.Module):
         fn = getattr(self.head, "precompute_combined", None)
         return fn() if fn is not None else None
 
+    def stage0(self, feats, dyn_combined=None):
+        """Stage 0's frame-local chain batched over ALL clip frames (or
+        None when the variant can't hoist it — propagated priors make
+        stage 0 depend on the frame t-1 carry). feats: tuple of
+        [T, B, h, w, c] FPN levels; returns per-frame [T, B, ...] tensors
+        to ride the scan's xs. See ``LaneHead.stage0_forward``."""
+        cfg = self.cfg
+        if cfg.head.propagate_priors or not cfg.head.stage0_hoist:
+            return None
+        fn = getattr(self.head, "stage0_forward", None)
+        if fn is None:
+            return None
+        lv = feats[-1]  # coarsest level = stage 0 (head reverses levels)
+        t, b = lv.shape[:2]
+        flat = lv.reshape((t * b,) + lv.shape[2:])
+        outs = fn(flat, train=self.train_mode, dyn_combined=dyn_combined)
+        return tuple(o.reshape((t, b) + o.shape[1:]) for o in outs)
+
     def _nms_keeps(self, routed: jnp.ndarray):
         """Confidence filter + lane NMS on routed predictions [B, R, dim].
         Returns (kept [B, topk, dim], keep_idx [B, topk], num_kept [B])."""
@@ -270,8 +288,10 @@ class _FrameStep(nn.Module):
     def __call__(self, carry, xs, dyn_combined=None):
         cfg = self.cfg
         if cfg.head.propagate_priors:
-            return self._v3_step(carry, xs, dyn_combined)
-        feats, label = xs  # feats: tuple of [B, h, w, c]; label: [B, L, dim]
+            return self._v3_step(carry, xs[:2], dyn_combined)
+        # feats: tuple of [B, h, w, c]; label: [B, L, dim]; stage0: this
+        # frame's slice of the hoisted stage-0 outputs (or None)
+        feats, label, stage0 = xs
         b = feats[0].shape[0]
         s = cfg.head.refine_layers
         window = carry.values.shape[2]
@@ -280,8 +300,12 @@ class _FrameStep(nn.Module):
         mem_flat_vals = carry.values.reshape(b, s, window * slots, -1)
         mem_flat_mask = carry.mask.reshape(b, window * slots)
 
+        # multi-scale heads have no stage0_forward (stage0 is then None) and
+        # no stage0 kwarg — pass it only when the hoist produced something
+        kw = {"stage0": stage0} if stage0 is not None else {}
         out = self.head(feats, mem_flat_vals, mem_flat_mask,
-                        train=self.train_mode, dyn_combined=dyn_combined)
+                        train=self.train_mode, dyn_combined=dyn_combined,
+                        **kw)
 
         spec = cfg.lane
         if self.train_mode:
@@ -444,6 +468,12 @@ class PHNet(nn.Module):
         # etc. — ~290 MB of accumulator traffic per backward frame on the
         # VIL preset); the combined->factored chain rule runs once per step.
         dyn_combined = frame.precompute()
+        # stage 0 is frame-local (fixed priors, no memory): evaluate it for
+        # ALL frames in one batched call BEFORE the scan — its weights
+        # stream from HBM once per clip instead of once per frame (the
+        # detect scan is weight-read bound) and its matmuls run at T*B*A
+        # rows. Per-frame slices ride the scan xs.
+        stage0_pre = frame.stage0(feats, dyn_combined)
 
         def body(mdl, carry, xs, comb):
             return mdl(carry, xs, comb)
@@ -466,6 +496,6 @@ class PHNet(nn.Module):
             out_axes=0,
             unroll=cfg.scan_unroll,
         )
-        final_mem, outs = scan(frame, mem0, (tuple(feats), labels_t),
-                               dyn_combined)
+        final_mem, outs = scan(frame, mem0, (tuple(feats), labels_t,
+                                             stage0_pre), dyn_combined)
         return outs, final_mem

@@ -234,3 +234,62 @@ def test_space_to_depth_stem_exact():
     g_sd = jax.grad(loss)(variables, m_sd)["params"]["Conv_0"]["kernel"]
     np.testing.assert_allclose(np.array(g_sd), np.array(g_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_stage0_hoist_equality():
+    """``HeadConfig.stage0_hoist`` batches stage 0's frame-local chain over
+    all clip frames outside the temporal scan. It must be the SAME function
+    as the in-scan path: identical inference outputs and train loss/grads
+    to float-reassociation noise. (The hoist is a measured perf NEGATIVE on
+    the v5e streaming bench — see the config field's comment — so it
+    defaults off; this pins that the mechanism stays correct either way.)"""
+    import flax
+
+    base = tiny_cfg(window=3)
+    cfg_on = dataclasses.replace(
+        base, head=dataclasses.replace(base.head, stage0_hoist=True))
+    cfg_off = dataclasses.replace(
+        base, head=dataclasses.replace(base.head, stage0_hoist=False))
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.normal(size=(1, 3, 96, 192, 3)).astype(np.float32))
+    labels = make_labels(rng, 1, 3, base)
+
+    m_on, m_off = PHNet(cfg_on), PHNet(cfg_off)
+    variables = m_off.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        frames, None, train=False)
+    v_on = m_on.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        frames, None, train=False)
+    # same param tree either way (the hoisted call creates the same params)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v_on))
+
+    o_on, mem_on = m_on.apply(variables, frames, None, train=False)
+    o_off, mem_off = m_off.apply(variables, frames, None, train=False)
+    np.testing.assert_array_equal(np.asarray(o_on.num_kept),
+                                  np.asarray(o_off.num_kept))
+    np.testing.assert_allclose(np.asarray(o_on.kept),
+                               np.asarray(o_off.kept), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mem_on.values),
+                               np.asarray(mem_off.values), atol=1e-5)
+
+    def loss_fn(model):
+        def f(params):
+            vs = {**variables, "params": params}
+            (outs, _), _ = model.apply(
+                vs, frames, labels, train=True,
+                rngs={"dropout": jax.random.key(7)},
+                mutable=["batch_stats"])
+            # simple differentiable reduction over both branches
+            return (jnp.abs(outs.pred_fir).mean()
+                    + jnp.abs(outs.pred_sec).mean()
+                    + outs.diff.mean())
+        return f
+
+    l_on, g_on = jax.value_and_grad(loss_fn(m_on))(variables["params"])
+    l_off, g_off = jax.value_and_grad(loss_fn(m_off))(variables["params"])
+    assert abs(float(l_on) - float(l_off)) < 1e-5
+    gmax = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(g_on), jax.tree_util.tree_leaves(g_off)))
+    assert gmax < 1e-4, gmax
