@@ -143,6 +143,19 @@ class HeadConfig:
     # router (Router.py:39-81)
     router_reduction: int = 4
     router_blocks: int = 4
+    # run the router's residual conv chain in the fused Pallas kernel
+    # (ops/router_pallas.py) instead of XLA's fusion. Measured: XLA wins
+    # at B=1 (58us vs 107-114us/call — Pallas fixed costs dominate at
+    # [240, 64, 36]); at large serving batches the XLA chain's f32
+    # [B*A, C, P] intermediates outgrow VMEM and go superlinear
+    # (B=8->16: 1.07 -> 5.92 ms/tick, xplane 2026-08-19), where the
+    # anchor-tiled kernel's fixed VMEM footprint should win — flag for
+    # per-deployment A/B.
+    router_pallas: bool = False
+    # serve the router chain with bf16 intermediates at fusion boundaries
+    # (inference only — training keeps the parity-exact f32 chain); the
+    # HBM/VMEM-footprint lever for the same large-batch spill.
+    router_chain_bf16: bool = False
     # DynamicConv (dynamic_head.py:6-59)
     dyn_dim_factor: int = 2  # dim_dynamic = inplanes * factor
     dyn_param_reduction: int = 8  # hidden of the weight-generator MLPs

@@ -192,6 +192,8 @@ class LaneHead(nn.Module):
                 reduction=h.router_reduction,
                 blocks=h.router_blocks,
                 dtype=compute_dtype,
+                use_pallas_kernel=h.router_pallas,
+                chain_bf16=h.router_chain_bf16,
                 name=f"router_{s}",
             )
             for s in range(h.refine_layers)

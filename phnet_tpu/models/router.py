@@ -80,6 +80,13 @@ class AdaptiveRouter(nn.Module):
     # XLA picks better shuffle sequences. Default is therefore the XLA
     # path everywhere; the kernel stays available for A/B measurement.
     use_pallas_kernel: bool = False
+    # Serve the conv chain with bf16 intermediates at XLA fusion
+    # boundaries (stats/taps still compute in f32 via promotion). The
+    # chain is f32 by parity design for training; this inference-only
+    # flag halves the [B*A, C, P] buffers that spill VMEM at large
+    # serving batches (B=8->16 tick: 1.07 -> 5.92 ms, xplane
+    # 2026-08-19). A/B per deployment; off by default.
+    chain_bf16: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -111,20 +118,24 @@ class AdaptiveRouter(nn.Module):
             # implementations on v5e (58us/chain vs 114us Pallas vs ~375us
             # banded-matmul — see ops/router_pallas.py for the A/B notes)
             b = feats.shape[0]
+            # bf16 only narrows the buffers XLA materializes between
+            # fusions; taps/stats still promote to f32 inside each fusion
+            cdtype = (jnp.bfloat16 if self.chain_bf16 and not train
+                      else jnp.float32)
             x = feats.astype(jnp.float32).reshape(b * a, c, p)
             taps_b = jnp.tile(taps, (b, 1))
             bias_b = jnp.tile(conv_bias, (b, 1))
-            x = _ln(x, ln_params[0], ln_params[1])
+            x = _ln(x, ln_params[0], ln_params[1]).astype(cdtype)
             for blk in range(self.blocks):
                 t1 = taps_b[:, (2 * blk) * 9 : (2 * blk + 1) * 9]
                 t2 = taps_b[:, (2 * blk + 1) * 9 : (2 * blk + 2) * 9]
                 o = 2 + 4 * blk
                 y = _conv3x3(x, t1, bias_b[:, 2 * blk])
                 y = _ln(y, ln_params[o], ln_params[o + 1])
-                y = jnp.maximum(y, 0.0)
+                y = jnp.maximum(y, 0.0).astype(cdtype)
                 y = _conv3x3(y, t2, bias_b[:, 2 * blk + 1])
                 y = _ln(y, ln_params[o + 2], ln_params[o + 3])
-                x = jnp.maximum(y + x, 0.0)
+                x = jnp.maximum(y + x.astype(jnp.float32), 0.0).astype(cdtype)
             x = x.reshape(feats.shape)
 
         x = x.reshape(*feats.shape[:-2], c * p).astype(self.dtype)

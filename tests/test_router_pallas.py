@@ -55,6 +55,24 @@ def test_router_train_eval_paths_agree():
     assert o.min() >= 0.5 and o.max() < 1.0
 
 
+def test_router_chain_bf16_close_and_train_exact():
+    """chain_bf16 narrows only eval-path fusion-boundary buffers: train
+    stays bit-identical to the f32 router, eval scores stay close (the
+    routed score only gates diff>=0.5 / soft blending downstream)."""
+    kw = dict(num_anchors=32, channels=16, points=12)
+    router = AdaptiveRouter(**kw)
+    router16 = AdaptiveRouter(chain_bf16=True, **kw)
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.normal(size=(2, 32, 16, 12)).astype(np.float32))
+    v = router.init(jax.random.key(0), feats)
+    np.testing.assert_array_equal(
+        np.array(router.apply(v, feats, train=True)),
+        np.array(router16.apply(v, feats, train=True)))
+    ref = np.array(router.apply(v, feats, train=False))
+    out = np.array(router16.apply(v, feats, train=False))
+    assert np.abs(out - ref).max() < 0.02, np.abs(out - ref).max()
+
+
 def test_router_gradients_flow():
     router = AdaptiveRouter(num_anchors=32, channels=16, points=12)
     rng = np.random.default_rng(2)

@@ -43,6 +43,13 @@ def main(argv=None):
                     default="none",
                     help="A/B the quantized DynamicConv chains (w8 halves "
                          "the weight bytes the weight-bound scan re-reads)")
+    ap.add_argument("--router-pallas", action="store_true",
+                    help="A/B the fused Pallas router chain (fixed VMEM "
+                         "footprint) against XLA's fusion, whose f32 "
+                         "[B*A, C, P] intermediates spill past B=8")
+    ap.add_argument("--router-bf16", action="store_true",
+                    help="A/B bf16 router-chain intermediates (halves the "
+                         "spilling buffers; inference-only)")
     args = ap.parse_args(argv)
 
     import jax
@@ -57,8 +64,11 @@ def main(argv=None):
     from phnet_tpu.models.phnet import init_memory
 
     base = openlane_config() if args.ol else vil100_config()
+    head = dataclasses.replace(base.model.head,
+                               router_pallas=args.router_pallas,
+                               router_chain_bf16=args.router_bf16)
     cfg = dataclasses.replace(base.model, compute_dtype="bfloat16",
-                              quantize=args.quantize)
+                              quantize=args.quantize, head=head)
     model = PHNet(cfg)
 
     rng = np.random.default_rng(0)
@@ -104,6 +114,8 @@ def main(argv=None):
             "sync_rtt_ms": round(rtt_s * 1e3, 2),
             "preset": "ol" if args.ol else "vil",
             "quantize": args.quantize,
+            "router_pallas": args.router_pallas,
+            "router_bf16": args.router_bf16,
         }), flush=True)
 
 
