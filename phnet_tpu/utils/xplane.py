@@ -179,17 +179,31 @@ def find_xplane_files(logdir: str) -> List[str]:
 
 
 def device_op_totals(
-    planes: List[XPlane], device_substr: str = "TPU"
+    planes: List[XPlane], device_substr: str = "TPU",
+    line_substr: str = "XLA Ops",
 ) -> List[Tuple[str, int, int]]:
     """Aggregate device-plane events: [(op_name, total_ps, count)] sorted
-    by total time descending. XLA op lines on TPU planes carry one event
-    per executed HLO op."""
+    by total time descending.
+
+    Only lines matching ``line_substr`` count. The TPU device plane
+    carries several overlapping timelines — 'XLA Modules' (the whole
+    executable, a parent span), 'XLA Ops' (EXCLUSIVE per-HLO-op device
+    time; sums to the module time), and 'Async XLA Ops' (DMA copy spans
+    that overlap compute, so their durations double-count wall time).
+    The default reports the exclusive op line; pass
+    ``line_substr='Async'`` to study DMA queues instead."""
     totals: Dict[str, int] = defaultdict(int)
     counts: Dict[str, int] = defaultdict(int)
     for plane in planes:
         if device_substr not in plane.name:
             continue
         for line in plane.lines:
+            # substring match, but never let the default 'XLA Ops' pull in
+            # 'Async XLA Ops' (whose spans overlap compute)
+            if line_substr not in line.name:
+                continue
+            if "Async" in line.name and "Async" not in line_substr:
+                continue
             for ev in line.events:
                 name = plane.event_names.get(ev.metadata_id, f"#{ev.metadata_id}")
                 totals[name] += ev.duration_ps
@@ -200,14 +214,15 @@ def device_op_totals(
     )
 
 
-def op_report(logdir: str, top: int = 30, device_substr: str = "TPU") -> str:
+def op_report(logdir: str, top: int = 30, device_substr: str = "TPU",
+              line_substr: str = "XLA Ops") -> str:
     files = find_xplane_files(logdir)
     if not files:
         return f"no .xplane.pb files under {logdir}"
     planes: List[XPlane] = []
     for f in files:
         planes.extend(parse_xspace(f))
-    rows = device_op_totals(planes, device_substr)
+    rows = device_op_totals(planes, device_substr, line_substr)
     if not rows:
         names = ", ".join(sorted({p.name for p in planes})[:10])
         return f"no '{device_substr}' device planes; planes seen: {names}"
@@ -232,8 +247,11 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--device", default="TPU",
                     help="substring selecting device planes (e.g. TPU, GPU)")
+    ap.add_argument("--line", default="XLA Ops",
+                    help="timeline to aggregate: 'XLA Ops' (exclusive op "
+                         "time, default) or 'Async' (overlapping DMA spans)")
     args = ap.parse_args(argv)
-    print(op_report(args.logdir, args.top, args.device))
+    print(op_report(args.logdir, args.top, args.device, args.line))
 
 
 if __name__ == "__main__":

@@ -50,6 +50,10 @@ def main(argv=None):
     ap.add_argument("--router-bf16", action="store_true",
                     help="A/B bf16 router-chain intermediates (halves the "
                          "spilling buffers; inference-only)")
+    ap.add_argument("--trace", default=None,
+                    help="write a jax.profiler xplane trace of the timed "
+                         "ticks under DIR/b<N> and print the per-op device "
+                         "report after each batch size")
     args = ap.parse_args(argv)
 
     import jax
@@ -100,11 +104,16 @@ def main(argv=None):
         np.array(nk)  # compile + warm
         kept, nk, mem = step(variables, frames, mem)
         np.array(nk)
+        if args.trace:
+            logdir = os.path.join(args.trace, "b%d" % b)
+            jax.profiler.start_trace(logdir)
         t0 = time.perf_counter()
         for _ in range(args.ticks):
             kept, nk, mem = step(variables, frames, mem)
         np.array(nk)
         wall = time.perf_counter() - t0 - rtt_s
+        if args.trace:
+            jax.profiler.stop_trace()
         agg_fps = b * args.ticks / wall
         print(json.dumps({
             "batch_streams": b,
@@ -117,6 +126,10 @@ def main(argv=None):
             "router_pallas": args.router_pallas,
             "router_bf16": args.router_bf16,
         }), flush=True)
+        if args.trace:
+            from phnet_tpu.utils.xplane import op_report
+
+            print(op_report(logdir, top=25), flush=True)
 
 
 if __name__ == "__main__":
