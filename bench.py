@@ -165,6 +165,7 @@ def main():
 
     # ---- MFU: cost-analysis FLOPs of the single-frame graph -------------
     mfu = None
+    device_mfu = None
     flops_per_frame = None
     try:
         comp = run1.lower(variables, frame1, mem).compile()
@@ -176,6 +177,11 @@ def main():
         peak = V5E_BF16_PEAK * (2 if cfg.quantize == "int8" else 1)
         if flops_per_frame > 0:
             mfu = flops_per_frame * fps / peak
+            # hardware-utilization view: the headline fps folds the dev
+            # tunnel's per-video sync (~28 ms) into the denominator, which
+            # says nothing about the chip; this key uses the amortized
+            # device step instead
+            device_mfu = flops_per_frame * (1e3 / device_frame_ms) / peak
     except Exception:
         pass
 
@@ -298,6 +304,8 @@ def main():
         "flops_per_frame_g": (round(flops_per_frame / 1e9, 2)
                               if flops_per_frame else None),
         "mfu_pct": round(mfu * 100, 2) if mfu is not None else None,
+        "device_mfu_pct": (round(device_mfu * 100, 2)
+                           if device_mfu is not None else None),
         "train_fps_16frame_clip": (round(train_fps, 2)
                                    if train_fps is not None else None),
         "train_mfu_pct": (round(train_mfu * 100, 2)

@@ -118,24 +118,30 @@ class AdaptiveRouter(nn.Module):
             # implementations on v5e (58us/chain vs 114us Pallas vs ~375us
             # banded-matmul — see ops/router_pallas.py for the A/B notes)
             b = feats.shape[0]
-            # bf16 only narrows the buffers XLA materializes between
-            # fusions; taps/stats still promote to f32 inside each fusion
+            # chain_bf16 must narrow EVERY producer XLA might pick as a
+            # fusion boundary: a trailing .astype on the block output is
+            # not enough — the conv outputs and LN outputs are f32 unless
+            # their *operands* are cast, and one 70 MB f32 [B*A, C, P]
+            # buffer per boundary is what spills VMEM at serving batches
+            # (xplane B=32: 12 such fusions, ~14% of the tick, WITH the
+            # old flag on). Stats (mean/var) still compute in f32 inside
+            # _ln regardless of operand dtype.
             cdtype = (jnp.bfloat16 if self.chain_bf16 and not train
                       else jnp.float32)
             x = feats.astype(jnp.float32).reshape(b * a, c, p)
-            taps_b = jnp.tile(taps, (b, 1))
-            bias_b = jnp.tile(conv_bias, (b, 1))
+            taps_b = jnp.tile(taps, (b, 1)).astype(cdtype)
+            bias_b = jnp.tile(conv_bias, (b, 1)).astype(cdtype)
             x = _ln(x, ln_params[0], ln_params[1]).astype(cdtype)
             for blk in range(self.blocks):
                 t1 = taps_b[:, (2 * blk) * 9 : (2 * blk + 1) * 9]
                 t2 = taps_b[:, (2 * blk + 1) * 9 : (2 * blk + 2) * 9]
                 o = 2 + 4 * blk
-                y = _conv3x3(x, t1, bias_b[:, 2 * blk])
-                y = _ln(y, ln_params[o], ln_params[o + 1])
-                y = jnp.maximum(y, 0.0).astype(cdtype)
-                y = _conv3x3(y, t2, bias_b[:, 2 * blk + 1])
-                y = _ln(y, ln_params[o + 2], ln_params[o + 3])
-                x = jnp.maximum(y + x.astype(jnp.float32), 0.0).astype(cdtype)
+                y = _conv3x3(x, t1, bias_b[:, 2 * blk]).astype(cdtype)
+                y = _ln(y, ln_params[o], ln_params[o + 1]).astype(cdtype)
+                y = jnp.maximum(y, 0.0)
+                y = _conv3x3(y, t2, bias_b[:, 2 * blk + 1]).astype(cdtype)
+                y = _ln(y, ln_params[o + 2], ln_params[o + 3]).astype(cdtype)
+                x = jnp.maximum(y + x, 0.0).astype(cdtype)
             x = x.reshape(feats.shape)
 
         x = x.reshape(*feats.shape[:-2], c * p).astype(self.dtype)
