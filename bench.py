@@ -278,6 +278,40 @@ def main():
     except Exception:
         pass
 
+    # ---- multi-stream serving aggregate (device-resident ticks, B=8) ----
+    # Production serving amortizes the weight-bound detect scan's HBM
+    # reads across streams (tools/serving_sweep.py measured the knee at
+    # B=8). Same tick protocol as the sweep: one jitted step = one frame
+    # for each of B streams with carried memory, inputs resident, N
+    # back-to-back dispatches, one checksum fence, measured sync RTT
+    # subtracted so the number reflects device time rather than the dev
+    # tunnel's scalar-fetch latency.
+    serving_agg_fps_b8 = None
+    try:
+        b_streams = 8
+        sframes = jnp.asarray(rng.normal(
+            size=(b_streams, 1, cfg.img_h, cfg.img_w, 3)).astype(np.float32))
+        stick = jax.jit(run_chunk, donate_argnums=(2,))
+        smem = init_memory(cfg, b_streams, video_frames)
+        kept, nk, smem = stick(variables, sframes, smem)
+        np.array(nk)  # compile + warm
+        kept, nk, smem = stick(variables, sframes, smem)
+        np.array(nk)
+        trivial = jax.jit(lambda: jnp.float32(0))
+        float(trivial())
+        t0 = time.time()
+        for _ in range(5):
+            float(trivial())
+        rtt_s = (time.time() - t0) / 5
+        n_ticks = 100
+        t0 = time.time()
+        for _ in range(n_ticks):
+            kept, nk, smem = stick(variables, sframes, smem)
+        np.array(nk)
+        serving_agg_fps_b8 = b_streams * n_ticks / (time.time() - t0 - rtt_s)
+    except Exception:
+        pass
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_TORCH_CPU.json")
     vs = None
@@ -311,6 +345,10 @@ def main():
         "train_mfu_pct": (round(train_mfu * 100, 2)
                           if train_mfu is not None else None),
         "openlane_fps": round(ol_fps, 2) if ol_fps is not None else None,
+        # device-resident multi-stream serving (the production protocol:
+        # batching amortizes the weight-bound detect scan B ways)
+        "serving_agg_fps_b8": (round(serving_agg_fps_b8, 2)
+                               if serving_agg_fps_b8 is not None else None),
     }))
 
 

@@ -260,8 +260,10 @@ class DynamicConv(nn.Module):
         pre2 = combined.get("gen2")
         if pre2 is not None:
             pre2 = self._permute_out_cols(pre2, perm)
-        g2b_p = {"kernel": self.g2b["kernel"][:, perm],
-                 "bias": self.g2b["bias"][perm]}
+            g2b_p = self.g2b  # unused: _affine_chain takes the pre2 path
+        else:
+            g2b_p = {"kernel": self.g2b["kernel"][:, perm],
+                     "bias": self.g2b["bias"][perm]}
         w2 = self._affine_chain(gen_in, self.g2a, g2b_p, pre2)
         w2 = w2.reshape(*w2.shape[:-1], c, d)
         feats = jnp.einsum("bapd,bacd->bapc", feats, w2)

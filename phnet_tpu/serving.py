@@ -86,12 +86,15 @@ class StreamingServer:
         # the streams that produced a frame (compacted, padded to a power
         # of two for a bounded set of compile variants) and scatters them
         # into this buffer on device — a 1-active-of-8 tick ships one
-        # frame, not max_streams mostly-zero ones. Inactive slots keep
-        # their stale frame; their outputs are ignored and their memory is
-        # mask-cleared on attach, so semantics match the zero-fill they
-        # replaced. The mesh path keeps the full-batch transfer: a scatter
-        # into a data-sharded operand lowers to cross-shard traffic that
-        # costs more than the H2D it saves.
+        # frame, not max_streams mostly-zero ones. Slots without a new
+        # frame this tick (inactive, or attached-but-skipping) keep their
+        # stale buffer content; the jitted step restores those streams'
+        # memory rows from the pre-step memory (see ``row_mask`` below), so
+        # a skipped tick leaves a stream's temporal state untouched rather
+        # than advancing it with re-detections of the stale frame. The mesh
+        # path keeps the full-batch transfer: a scatter into a data-sharded
+        # operand lowers to cross-shard traffic that costs more than the
+        # H2D it saves.
         self._frames_dev = None
         if mesh is None:
             self._frames_dev = jnp.zeros(
@@ -111,11 +114,25 @@ class StreamingServer:
         self._n_frames = 0
         self._frames_per_stream = np.zeros(max_streams, np.int64)
 
-        def step(variables, frames, mem):
-            outs, mem = self.model.apply(
+        def step(variables, frames, mem, row_mask):
+            outs, new_mem = self.model.apply(
                 variables, frames, None, train=False, initial_memory=mem
             )
-            return outs.kept[0], outs.kept_valid[0], mem
+
+            # streams with no new frame this tick keep their pre-step
+            # memory rows: their batch slot held a stale (or zero) frame
+            # whose re-detections must not advance their temporal state.
+            # The ring counter (scalar leaves) still advances globally —
+            # a skipped stream simply has an invalid hole at this window
+            # position, exactly as if the frame were missed upstream.
+            def sel(new, old):
+                if jnp.ndim(new) == 0:
+                    return new
+                m = row_mask.reshape((-1,) + (1,) * (jnp.ndim(new) - 1))
+                return jnp.where(m, new, old)
+
+            out_mem = jax.tree_util.tree_map(sel, new_mem, mem)
+            return outs.kept[0], outs.kept_valid[0], out_mem
 
         self._step = jax.jit(step, donate_argnums=(2,))
 
@@ -204,8 +221,13 @@ class StreamingServer:
                 self._frames_dev = self._scatter(
                     self._frames_dev, jnp.asarray(rows), jnp.asarray(idx))
             batch = self._frames_dev
+        row_mask = np.zeros(self.max_streams, bool)
+        for sid in frames:
+            row_mask[sid] = True
+        row_mask = (jax.device_put(row_mask, self._bsh)
+                    if self.mesh is not None else jnp.asarray(row_mask))
         kept, valid, self.memory = self._step(
-            self.variables, batch, self.memory)
+            self.variables, batch, self.memory, row_mask)
         self._tick_wall.append(time.perf_counter() - t0)
         self._n_ticks += 1
         self._n_frames += len(frames)

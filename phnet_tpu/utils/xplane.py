@@ -191,16 +191,20 @@ def device_op_totals(
     time; sums to the module time), and 'Async XLA Ops' (DMA copy spans
     that overlap compute, so their durations double-count wall time).
     The default reports the exclusive op line; pass
-    ``line_substr='Async'`` to study DMA queues instead."""
+    ``line_substr='Async'`` to study DMA queues instead. GPU device
+    planes name their lines by stream ('Stream #1(...)'), not 'XLA Ops'
+    — when the filter matches no line on any selected plane, all
+    non-Async lines are aggregated instead so GPU traces still report."""
+    sel_planes = [p for p in planes if device_substr in p.name]
+    have_line = any(
+        line_substr in ln.name for p in sel_planes for ln in p.lines)
     totals: Dict[str, int] = defaultdict(int)
     counts: Dict[str, int] = defaultdict(int)
-    for plane in planes:
-        if device_substr not in plane.name:
-            continue
+    for plane in sel_planes:
         for line in plane.lines:
             # substring match, but never let the default 'XLA Ops' pull in
             # 'Async XLA Ops' (whose spans overlap compute)
-            if line_substr not in line.name:
+            if have_line and line_substr not in line.name:
                 continue
             if "Async" in line.name and "Async" not in line_substr:
                 continue

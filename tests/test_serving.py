@@ -147,3 +147,36 @@ def test_streaming_server_mesh_parity(server_setup):
     assert not np.array(shard.memory.mask)[sids[1]].any()
     out = shard.step({sids[0]: clips[0]["frames"][0]})
     assert sids[0] in out
+
+
+def test_streaming_server_skipped_tick_preserves_memory(server_setup):
+    """A stream that supplies no frame on a tick must keep its temporal
+    state untouched: its batch slot holds a stale frame whose
+    re-detections must not be written into memory (serving.py row_mask)."""
+    cfg, variables = server_setup
+    mcfg = cfg.model
+    clips = [
+        synthetic_clip(seed=30 + i, t=4, img_h=mcfg.img_h, img_w=mcfg.img_w,
+                       spec=mcfg.lane, max_lanes=mcfg.max_lanes)
+        for i in range(2)
+    ]
+
+    server = StreamingServer(cfg, variables, max_streams=2, memory_window=8)
+    s0, s1 = server.attach(), server.attach()
+
+    # tick 0: both streams; ticks 1-2: only s0; tick 3: both again
+    server.step({s0: clips[0]["frames"][0], s1: clips[1]["frames"][0]})
+    mem_before = jax.tree_util.tree_map(np.array, server.memory)
+    server.step({s0: clips[0]["frames"][1]})
+    server.step({s0: clips[0]["frames"][2]})
+    mem_after = jax.tree_util.tree_map(np.array, server.memory)
+
+    # s1's memory rows are bit-identical across its skipped ticks
+    np.testing.assert_array_equal(mem_after.values[s1], mem_before.values[s1])
+    np.testing.assert_array_equal(mem_after.mask[s1], mem_before.mask[s1])
+    # s0's memory did gain entries over the same ticks
+    assert mem_after.mask[s0].sum() >= mem_before.mask[s0].sum()
+
+    # the rejoining tick still serves both streams
+    out = server.step({s0: clips[0]["frames"][3], s1: clips[1]["frames"][1]})
+    assert set(out.keys()) == {s0, s1}
