@@ -308,7 +308,13 @@ def main():
         for _ in range(n_ticks):
             kept, nk, smem = stick(variables, sframes, smem)
         np.array(nk)
-        serving_agg_fps_b8 = b_streams * n_ticks / (time.time() - t0 - rtt_s)
+        # the RTT correction removes the one final-sync round trip; guard
+        # against over-subtraction (the trivial jit's sync cost is not
+        # exactly the fence on np.array(nk)) so a fast-tunnel run can
+        # never produce a tiny/negative denominator
+        elapsed = time.time() - t0
+        serving_agg_fps_b8 = (b_streams * n_ticks /
+                              max(elapsed - rtt_s, elapsed * 0.5))
     except Exception:
         pass
 

@@ -154,8 +154,11 @@ class HeadConfig:
     router_pallas: bool = False
     # serve the router chain with bf16 intermediates at fusion boundaries
     # (inference only — training keeps the parity-exact f32 chain); the
-    # HBM/VMEM-footprint lever for the same large-batch spill.
-    router_chain_bf16: bool = False
+    # HBM/VMEM-footprint lever for the same large-batch spill. None = auto:
+    # StreamingServer enables it when max_streams exceeds the measured B=8
+    # VMEM spill point (serving sweep 2026-08-19: +13% at B=16, -7% at
+    # B=8); everywhere else None behaves as False. Set True/False to pin.
+    router_chain_bf16: Optional[bool] = None
     # DynamicConv (dynamic_head.py:6-59)
     dyn_dim_factor: int = 2  # dim_dynamic = inplanes * factor
     dyn_param_reduction: int = 8  # hidden of the weight-generator MLPs

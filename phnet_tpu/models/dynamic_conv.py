@@ -224,10 +224,18 @@ class DynamicConv(nn.Module):
         pro_feat: jnp.ndarray,
         roi_feat: jnp.ndarray,
         combined: Optional[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+        c_major: bool = True,
     ) -> jnp.ndarray:
         """pro_feat: [B, A, pro_dim]; roi_feat: [B, A, P, C] -> [B, A, out].
         ``combined``: output of :meth:`combined_weights` evaluated outside
-        the enclosing scan (optional — falls back to in-line collapse)."""
+        the enclosing scan (optional — falls back to in-line collapse).
+        ``c_major``: emit the second generated weight C-major (an exact
+        static column permutation — an inference layout win, see the w2
+        block below) or in the natural d-major order. Heads pass
+        ``c_major=not train``: the permutation's einsum backward inside the
+        frame scan costs ~19% of training throughput (measured round 4:
+        154.1 -> 125.6 clip-frames/s on the VIL train step) while the
+        forward win it buys only matters for batched serving."""
         c = self.hidden_dim
         d = c * self.dim_factor
         combined = combined or {}
@@ -248,25 +256,33 @@ class DynamicConv(nn.Module):
         gen_in = jax.lax.stop_gradient(feats).reshape(
             *feats.shape[:-2], self.feat_size * d
         )
-        # Emit w2 C-MAJOR by permuting the last generator's output columns
-        # (exact — a static permutation of parameter columns, hoisted out
-        # of the frame scan by XLA's loop-invariant code motion). The
-        # natural d-major reshape [.., D, C] puts C innermost, but the
-        # batched [P,D]@[D,C] contraction wants the contracted D
-        # contiguous on the rhs — without this XLA inserts two layout
-        # copies of the [B, A, D*C] generated weight per stage
-        # (xplane B=32 serving tick: ~2.5 ms, 6% of the tick).
-        perm = np.arange(d * c).reshape(d, c).T.reshape(-1)
         pre2 = combined.get("gen2")
-        if pre2 is not None:
-            pre2 = self._permute_out_cols(pre2, perm)
-            g2b_p = self.g2b  # unused: _affine_chain takes the pre2 path
+        if c_major:
+            # Emit w2 C-MAJOR by permuting the last generator's output
+            # columns (exact — a static permutation of parameter columns,
+            # hoisted out of the frame scan by XLA's loop-invariant code
+            # motion). The natural d-major reshape [.., D, C] puts C
+            # innermost, but the batched [P,D]@[D,C] contraction wants the
+            # contracted D contiguous on the rhs — without this XLA inserts
+            # two layout copies of the [B, A, D*C] generated weight per
+            # stage (xplane B=32 serving tick: ~2.5 ms, 6% of the tick).
+            perm = np.arange(d * c).reshape(d, c).T.reshape(-1)
+            if pre2 is not None:
+                pre2 = self._permute_out_cols(pre2, perm)
+                g2b_p = self.g2b  # unused: _affine_chain takes pre2 path
+            else:
+                g2b_p = {"kernel": self.g2b["kernel"][:, perm],
+                         "bias": self.g2b["bias"][perm]}
+            w2 = self._affine_chain(gen_in, self.g2a, g2b_p, pre2)
+            w2 = w2.reshape(*w2.shape[:-1], c, d)
+            feats = jnp.einsum("bapd,bacd->bapc", feats, w2)
         else:
-            g2b_p = {"kernel": self.g2b["kernel"][:, perm],
-                     "bias": self.g2b["bias"][perm]}
-        w2 = self._affine_chain(gen_in, self.g2a, g2b_p, pre2)
-        w2 = w2.reshape(*w2.shape[:-1], c, d)
-        feats = jnp.einsum("bapd,bacd->bapc", feats, w2)
+            # training layout: the permutation's backward (a scatter on the
+            # w2 cotangent every frame of the scan) costs more than the
+            # forward copies it saves — keep the natural d-major order
+            w2 = self._affine_chain(gen_in, self.g2a, self.g2b, pre2)
+            w2 = w2.reshape(*w2.shape[:-1], d, c)
+            feats = jnp.einsum("bapd,badc->bapc", feats, w2)
         feats = self.norm2(feats)
         feats = nn.relu(feats)
 

@@ -193,7 +193,8 @@ class LaneHead(nn.Module):
                 blocks=h.router_blocks,
                 dtype=compute_dtype,
                 use_pallas_kernel=h.router_pallas,
-                chain_bf16=h.router_chain_bf16,
+                chain_bf16=bool(h.router_chain_bf16),  # None (auto) = off
+                # here; StreamingServer resolves auto by batch (config.py)
                 name=f"router_{s}",
             )
             for s in range(h.refine_layers)
@@ -339,7 +340,8 @@ class LaneHead(nn.Module):
             jax.lax.stop_gradient(jnp.swapaxes(pooled, -1, -2)),
             train=train,
         )[..., 0]  # [B, A]
-        decode_feat = self.dyn_heads[s](pro_feat, pooled, combined=combined)
+        decode_feat = self.dyn_heads[s](pro_feat, pooled, combined=combined,
+                                        c_major=not train)
         fir_full, fir_lines = self._branch(decode_feat, self.heads_fir,
                                            priors)
         attn_feat = jnp.concatenate(

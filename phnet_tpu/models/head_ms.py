@@ -192,14 +192,16 @@ class MultiScaleLaneHead(nn.Module):
         outside the temporal scan; see ``dynamic_conv.py``)."""
         return tuple(dyn.combined_weights() for dyn in self.dyn_heads)
 
-    def _stage_local(self, s, level, priors, pro_feat, pos, combined):
+    def _stage_local(self, s, level, priors, pro_feat, pos, combined,
+                     c_major=True):
         """Frame-local work of one stage (pool, router, DynamicConv, first
         branch) — no memory dependence; hoistable for stage 0."""
         pooled = self._pool(level, priors, s)  # [B, A, P_s, C_s]
         diff = self.routers[s](
             jax.lax.stop_gradient(jnp.swapaxes(pooled, -1, -2))
         )[..., 0]
-        decode_feat = self.dyn_heads[s](pro_feat, pooled, combined=combined)
+        decode_feat = self.dyn_heads[s](pro_feat, pooled, combined=combined,
+                                        c_major=c_major)
         fir_full, fir_lines = self._branch(
             decode_feat, self.cls_fir, self.reg_fir, priors)
         # additive positional encoding (Router4OLV2.py:268-270)
@@ -253,7 +255,8 @@ class MultiScaleLaneHead(nn.Module):
                 diff, decode_feat, fir_full, fir_lines, attn_feat = (
                     self._stage_local(
                         s, levels[s], priors, pro_feat, pos,
-                        dyn_combined[s] if dyn_combined else None))
+                        dyn_combined[s] if dyn_combined else None,
+                        c_major=not train))
             diffs.append(diff)
             pro_feat = jax.lax.stop_gradient(decode_feat)
             preds_fir.append(fir_full)

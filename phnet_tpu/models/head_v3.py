@@ -157,6 +157,7 @@ class PropagatingLaneHead(LaneHead):
             decode_feat = self.dyn_heads[s](
                 pro_feat, pooled,
                 combined=dyn_combined[s] if dyn_combined else None,
+                c_major=not train,
             )  # [B, A, C]
             pro_feat = jax.lax.stop_gradient(decode_feat)
 

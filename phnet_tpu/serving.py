@@ -34,7 +34,7 @@ import numpy as np
 from .config import Config
 from .geometry import Lane, decode_kept_rows
 from .models import PHNet
-from .models.phnet import init_memory
+from .models.phnet import MemoryState, init_memory
 
 
 class StreamingServer:
@@ -55,6 +55,15 @@ class StreamingServer:
         memory rides the same sharding, so attach/detach stays a masked
         write. The TPU-native answer to "more cameras": add chips to the
         mesh, not model surgery."""
+        if cfg.model.head.router_chain_bf16 is None:
+            # auto-resolve by batch: past the measured B=8 VMEM spill
+            # point the f32 router-chain intermediates go superlinear
+            # (serving sweep 2026-08-19: bf16 +13% at B=16, -7% at B=8)
+            import dataclasses as _dc
+            auto = max_streams > 8
+            cfg = _dc.replace(cfg, model=_dc.replace(
+                cfg.model, head=_dc.replace(
+                    cfg.model.head, router_chain_bf16=auto)))
         self.cfg = cfg
         self.mcfg = cfg.model
         self.model = PHNet(self.mcfg)
@@ -132,6 +141,18 @@ class StreamingServer:
                 return jnp.where(m, new, old)
 
             out_mem = jax.tree_util.tree_map(sel, new_mem, mem)
+            if isinstance(out_mem, MemoryState):
+                # restoring the full pre-step mask row would, after ring
+                # wraparound, leave a skipping stream's over-age entries at
+                # this position marked valid forever — explicitly clear the
+                # written ring slot so a skipped tick is a genuine hole.
+                # (V3MemoryState carries only last-frame state, no ring:
+                # restoring it wholesale IS the correct skip semantics.)
+                pos = mem.t % out_mem.mask.shape[1]
+                hole = jnp.where(row_mask[:, None],
+                                 out_mem.mask[:, pos], False)
+                out_mem = out_mem._replace(
+                    mask=out_mem.mask.at[:, pos].set(hole))
             return outs.kept[0], outs.kept_valid[0], out_mem
 
         self._step = jax.jit(step, donate_argnums=(2,))

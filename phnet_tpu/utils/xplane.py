@@ -198,6 +198,12 @@ def device_op_totals(
     sel_planes = [p for p in planes if device_substr in p.name]
     have_line = any(
         line_substr in ln.name for p in sel_planes for ln in p.lines)
+    # the no-match fallback exists for GPU stream-named lines; it only
+    # makes sense for the default exclusive-op filter. An explicit
+    # non-default filter (e.g. 'Async' DMA queues) that matches nothing
+    # must report empty, not silently aggregate compute lines.
+    if not have_line and line_substr != "XLA Ops":
+        return []
     totals: Dict[str, int] = defaultdict(int)
     counts: Dict[str, int] = defaultdict(int)
     for plane in sel_planes:
@@ -207,6 +213,10 @@ def device_op_totals(
             if have_line and line_substr not in line.name:
                 continue
             if "Async" in line.name and "Async" not in line_substr:
+                continue
+            if not have_line and "Modules" in line.name:
+                # fallback aggregation: parent-span module lines would
+                # double-count their children op/stream lines
                 continue
             for ev in line.events:
                 name = plane.event_names.get(ev.metadata_id, f"#{ev.metadata_id}")

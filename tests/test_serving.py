@@ -180,3 +180,69 @@ def test_streaming_server_skipped_tick_preserves_memory(server_setup):
     # the rejoining tick still serves both streams
     out = server.step({s0: clips[0]["frames"][3], s1: clips[1]["frames"][1]})
     assert set(out.keys()) == {s0, s1}
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_streaming_server_skip_ring_wraparound(server_setup, use_mesh):
+    """After the ring wraps, a stream that keeps skipping must see its
+    over-age entries expire: the jitted step clears the written ring
+    position's mask for row_mask==False streams (serving.py), so a skipped
+    tick is a genuine hole rather than an immortal stale entry. Runs both
+    the plain and the data-mesh-sharded path."""
+    cfg, variables = server_setup
+    mcfg = cfg.model
+    mesh = None
+    if use_mesh:
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 virtual devices")
+        from phnet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(2, model_parallel=1)
+
+    window = 4
+    clips = [
+        synthetic_clip(seed=40 + i, t=window + 2, img_h=mcfg.img_h,
+                       img_w=mcfg.img_w, spec=mcfg.lane,
+                       max_lanes=mcfg.max_lanes)
+        for i in range(2)
+    ]
+    server = StreamingServer(cfg, variables, max_streams=2,
+                             memory_window=window, mesh=mesh)
+    s0, s1 = server.attach(), server.attach()
+
+    # tick 0: both streams write at ring position 0
+    server.step({s0: clips[0]["frames"][0], s1: clips[1]["frames"][0]})
+    mask0 = np.array(server.memory.mask)
+    # ticks 1..window+1: only s0 — the ring wraps past s1's position-0 entry
+    for t in range(1, window + 2):
+        server.step({s0: clips[0]["frames"][t]})
+    mask = np.array(server.memory.mask)
+
+    # s1's only entry aged out when the ring revisited position 0
+    assert not mask[s1].any(), mask[s1]
+    # s0 kept writing throughout (every position valid or recently valid)
+    assert mask[s0].any()
+    # sanity: s1 did have an entry before the wraparound (the test would
+    # be vacuous otherwise)
+    assert mask0[s1].any()
+
+
+def test_router_chain_bf16_auto_by_batch(server_setup):
+    """The router-chain bf16 flag auto-resolves by batch: None (the config
+    default) becomes True past the measured B=8 VMEM spill point and False
+    below it; an explicit pin always wins (VERDICT r3 #4)."""
+    import dataclasses
+
+    cfg, variables = server_setup
+    assert cfg.model.head.router_chain_bf16 is None  # config default = auto
+
+    small = StreamingServer(cfg, variables, max_streams=2, memory_window=4)
+    assert small.mcfg.head.router_chain_bf16 is False
+    big = StreamingServer(cfg, variables, max_streams=16, memory_window=4)
+    assert big.mcfg.head.router_chain_bf16 is True
+
+    pinned = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, head=dataclasses.replace(
+            cfg.model.head, router_chain_bf16=False)))
+    srv = StreamingServer(pinned, variables, max_streams=16, memory_window=4)
+    assert srv.mcfg.head.router_chain_bf16 is False
