@@ -46,6 +46,9 @@ def _load():
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_long),
     ]
+    lib.culane_evaluate_files_v2.restype = ctypes.c_int
+    lib.culane_evaluate_files_v2.argtypes = (
+        lib.culane_evaluate_files.argtypes + [ctypes.POINTER(ctypes.c_double)])
     _lib = lib
     return lib
 
@@ -68,18 +71,24 @@ def evaluate_pairs(
     fn = ctypes.c_long()
     iou_sum = ctypes.c_double()
     n_pred = ctypes.c_long()
-    lib.culane_evaluate_files(
+    frame_miou_sum = ctypes.c_double()
+    lib.culane_evaluate_files_v2(
         pred_arr, anno_arr, n, img_w, img_h, lane_width, iou_thr,
         ctypes.byref(tp), ctypes.byref(fp), ctypes.byref(fn),
         ctypes.byref(iou_sum), ctypes.byref(n_pred),
+        ctypes.byref(frame_miou_sum),
     )
     tp, fp, fn = tp.value, fp.value, fn.value
     p = tp / (tp + fp) if tp + fp else 0.0
     r = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * p * r / (p + r) if p + r else 0.0
     miou = iou_sum.value / n_pred.value if n_pred.value else 0.0
+    # the official binary's aggregate: mean of per-frame mious
+    # (evaluate.cpp:170-187); "miou" keeps the historic matched-IoU /
+    # n_predictions weighting for comparability with earlier rounds
+    miou_official = frame_miou_sum.value / n if n else 0.0
     return {"TP": tp, "FP": fp, "FN": fn, "Precision": p, "Recall": r,
-            "F1": f1, "miou": miou}
+            "F1": f1, "miou": miou, "miou_official": miou_official}
 
 
 def native_eval(pred_dir: str, anno_dir: str, img_w: int, img_h: int,
