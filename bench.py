@@ -66,6 +66,7 @@ def _supervise() -> int:
 
 
 def main():
+    t_bench_start = time.time()
     import jax
 
     if os.environ.get("PHNET_BENCH_CPU"):
@@ -195,9 +196,15 @@ def main():
         )
 
         # training is always f32/bf16 — quantize is inference-only, so the
-        # int8 A/B run still measures the same comparable train step
-        t_model = (model if cfg.quantize == "none" else
-                   PHNet(dataclasses.replace(cfg, quantize="none")))
+        # int8 A/B run still measures the same comparable train step.
+        # scan_unroll=1 for training: the round-4 sweep measured unroll
+        # 1/2/5 at B=4 as 299.8/317.0/333.4 ms/step (unroll buys nothing
+        # in the backward scan and its stacked-buffer layout copies cost),
+        # and unroll>1 also INFLATES cost-analysis FLOPs ~1.33x (the cost
+        # model counts ceil(T/u)*u frames), which overstated train_mfu_pct
+        # in rounds <=3 — unroll=1 keeps both the time and the MFU honest.
+        t_model = PHNet(dataclasses.replace(
+            cfg, quantize="none", scan_unroll=1))
         t_frames = jnp.asarray(rng.normal(
             size=(1, 16, cfg.img_h, cfg.img_w, 3)).astype(np.float32))
         lab = np.full((1, 16, cfg.max_lanes, cfg.lane.dim), -1e5, np.float32)
@@ -240,6 +247,49 @@ def main():
             pass
     except Exception:
         pass
+
+    # ---- training throughput at clip-batch 4 ---------------------------
+    # B=1 training is bound by the per-frame small-tensor account (ROADMAP
+    # round 4: the backward scan is a ~45 ms tail of sub-5us ops); batching
+    # clips amortizes the B-independent weight/accumulator traffic and is
+    # the per-chip production configuration (the reference's own recipe is
+    # a global batch of 4, trainVIL.py:96-103). Guarded by elapsed time so
+    # a cold compile cache cannot push the whole bench past the driver's
+    # attempt timeout.
+    train_fps_b4 = None
+    train_mfu_b4 = None
+    if (train_fps is not None
+            and time.time() - t_bench_start < 0.55 * _ATTEMPT_TIMEOUT_S):
+        try:
+            b4 = 4
+            t_frames4 = jnp.concatenate([t_frames] * b4, axis=0)
+            t_labels4 = jnp.concatenate([t_labels] * b4, axis=0)
+            state4 = create_train_state(
+                t_model, cfg, jax.random.key(0), t_frames4, t_labels4, tx)
+            step4 = jax.jit(make_train_step(t_model, criterion, tx),
+                            donate_argnums=0)
+            state4, m4 = step4(state4, t_frames4, t_labels4, jax.random.key(1))
+            float(m4["loss"])
+            t0 = time.time()
+            n4 = 4
+            for i in range(n4):
+                state4, m4 = step4(state4, t_frames4, t_labels4,
+                                   jax.random.key(i))
+            float(m4["loss"])
+            train_fps_b4 = b4 * 16 * n4 / (time.time() - t0)
+            try:
+                tcomp4 = step4.lower(state4, t_frames4, t_labels4,
+                                     jax.random.key(0)).compile()
+                tca4 = tcomp4.cost_analysis()
+                tca4 = tca4[0] if isinstance(tca4, (list, tuple)) else tca4
+                fl4 = float(tca4.get("flops", 0.0))
+                if fl4 > 0:
+                    train_mfu_b4 = fl4 * (train_fps_b4 / (b4 * 16)) / V5E_BF16_PEAK
+            except Exception:
+                pass
+            del state4, step4, t_frames4, t_labels4
+        except Exception:
+            pass
 
     # ---- OpenLane preset throughput (testOLV3 protocol: 16-frame chunks,
     # 72 offsets, window-5 memory, soft routing) -------------------------
@@ -350,6 +400,11 @@ def main():
                                    if train_fps is not None else None),
         "train_mfu_pct": (round(train_mfu * 100, 2)
                           if train_mfu is not None else None),
+        # clip-batch-4 training (the reference's global batch, on one chip)
+        "train_fps_16frame_clip_b4": (round(train_fps_b4, 2)
+                                      if train_fps_b4 is not None else None),
+        "train_mfu_pct_b4": (round(train_mfu_b4 * 100, 2)
+                             if train_mfu_b4 is not None else None),
         "openlane_fps": round(ol_fps, 2) if ol_fps is not None else None,
         # device-resident multi-stream serving (the production protocol:
         # batching amortizes the weight-bound detect scan B ways)

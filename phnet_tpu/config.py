@@ -264,11 +264,13 @@ class ModelConfig:
     # forward for O(T) less HBM traffic through the temporal scan
     remat_frames: bool = True
     # what the remat saves: "full" recomputes everything (max memory
-    # saving); "dots" saves MXU (matmul/conv) outputs and recomputes only
-    # the cheap elementwise chain. Measured on the 16-frame clip step the
-    # difference is ~1.5% (106.4 vs 107.9 ms) — the backward is dominated
-    # by per-frame param-grad accumulation, not recompute — so "dots" is
-    # the default for the small step-time edge at a modest memory cost
+    # saving); "dots" saves plain matmul/conv outputs but NOT the batched
+    # per-anchor einsums (jax's dots_with_no_batch_dims_saveable — the
+    # DynamicConv bmms and attention contractions are recomputed);
+    # "alldots" saves every MXU contraction including the batched ones
+    # (dots_saveable) and recomputes only the elementwise chain. Measured
+    # on the 16-frame clip step "dots" vs "full" is ~1.5%; see ROADMAP
+    # round-4 for the alldots/off sweep.
     remat_policy: str = "dots"
 
     @property

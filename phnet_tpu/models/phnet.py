@@ -485,8 +485,13 @@ class PHNet(nn.Module):
             # trade for a long temporal scan). policy="dots" keeps the MXU
             # results (matmuls/convs) and recomputes only elementwise work,
             # cutting the recompute cost of the backward scan.
-            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                      if cfg.remat_policy == "dots" else None)
+            policy = {
+                # NB "dots" does NOT save the batched per-anchor einsums
+                # (bmm/attention) — those recompute in the backward;
+                # "alldots" saves every contraction
+                "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "alldots": jax.checkpoint_policies.dots_saveable,
+            }.get(cfg.remat_policy)
             body = nn.remat(body, prevent_cse=False, policy=policy)
         scan = nn.scan(
             body,

@@ -126,8 +126,18 @@ class AdaptiveRouter(nn.Module):
             # (xplane B=32: 12 such fusions, ~14% of the tick, WITH the
             # old flag on). Stats (mean/var) still compute in f32 inside
             # _ln regardless of operand dtype.
-            cdtype = (jnp.bfloat16 if self.chain_bf16 and not train
-                      else jnp.float32)
+            # Training follows the model-wide mixed-precision policy
+            # (self.dtype = compute_dtype): the xplane account of the
+            # B=4 train step (ROADMAP round 4) shows the backward scan
+            # dominated by this chain's f32 [B*A, C, P] remat recompute
+            # and its LN/tap param-grad reductions — bf16 halves those
+            # bytes. Stats still compute in f32 inside _ln; parity tests
+            # run compute_dtype=f32 and are bit-identical. Inference keeps
+            # the measured per-batch policy (chain_bf16 / serving auto).
+            if train:
+                cdtype = self.dtype
+            else:
+                cdtype = jnp.bfloat16 if self.chain_bf16 else jnp.float32
             x = feats.astype(jnp.float32).reshape(b * a, c, p)
             taps_b = jnp.tile(taps, (b, 1)).astype(cdtype)
             bias_b = jnp.tile(conv_bias, (b, 1)).astype(cdtype)

@@ -165,6 +165,47 @@ def test_sharded_matches_single_device():
         float(m_single["loss"]), float(m_shard["loss"]), rtol=2e-4)
 
 
+def test_sharded_model2_matches_single_device():
+    """Tensor-sharding the fat head kernels over model=2 must not change
+    the numbers: loss AND grad_norm of the data(2)xmodel(2) step equal the
+    unsharded single-device step on the same batch (VERDICT r3 #8 — the
+    model axis certified numerically, not just structurally)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = tiny_cfg()
+    model, state, step, frames, labels = setup_training(cfg, b=2, t=2, seed=4)
+    jstep = jax.jit(step)
+    s_single, m_single = jstep(state, frames, labels, jax.random.key(0))
+
+    mesh = make_mesh(4, model_parallel=2)
+    param_sh = shard_params(state.params, mesh, min_size=1024)
+    state_sh = state.replace(
+        params=jax.device_put(state.params, param_sh),
+        batch_stats=jax.device_put(
+            state.batch_stats, replicate_sharding(mesh)),
+        opt_state=jax.device_put(state.opt_state, replicate_sharding(mesh)),
+    )
+    bs = batch_sharding(mesh)
+    s_shard, m_shard = jstep(
+        state_sh, jax.device_put(frames, bs), jax.device_put(labels, bs),
+        jax.random.key(0))
+    # at least one param must actually be model-sharded for this to test
+    # anything
+    specs = [str(x.sharding.spec) for x in jax.tree.leaves(s_shard.params)]
+    assert any("model" in s for s in specs), specs
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_shard["loss"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(m_single["grad_norm"]), float(m_shard["grad_norm"]), rtol=2e-3)
+    # updated parameters agree too (optimizer ran on identical grads)
+    p_a = jax.tree.leaves(s_single.params)
+    p_b = jax.tree.leaves(s_shard.params)
+    worst = max(
+        float(np.max(np.abs(np.array(a, np.float32) - np.array(b, np.float32))))
+        for a, b in zip(p_a, p_b))
+    assert worst < 5e-3, worst
+
+
 def test_grad_accumulation_matches_full_batch():
     """accum_steps=2 over B=2: one optimizer update on the micro-average.
     The criterion is a batch mean, so the accumulated loss/grads equal the

@@ -33,7 +33,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--scan-unroll", type=int, default=5)
     ap.add_argument("--remat", type=str, default=None,
-                    help="override cfg remat policy if the field exists")
+                    choices=("off", "dots", "alldots", "full"),
+                    help="off = remat_frames=False (store all frame "
+                         "activations); else remat_policy override")
     args = ap.parse_args()
 
     import jax
@@ -52,8 +54,10 @@ def main():
     cfg = dataclasses.replace(
         vil100_config().model, compute_dtype="bfloat16",
         scan_unroll=args.scan_unroll)
-    if args.remat is not None and hasattr(cfg, "train_remat"):
-        cfg = dataclasses.replace(cfg, train_remat=args.remat)
+    if args.remat == "off":
+        cfg = dataclasses.replace(cfg, remat_frames=False)
+    elif args.remat is not None:
+        cfg = dataclasses.replace(cfg, remat_policy=args.remat)
     model = PHNet(cfg)
 
     rng = np.random.default_rng(0)
