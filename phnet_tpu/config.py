@@ -92,8 +92,13 @@ class BackboneConfig:
     # channels; "space_to_depth" = the SAME function (exact, same params,
     # checkpoint-compatible) computed as a 4x4/s1 conv on a 2x2
     # space-to-depth input — 3-channel convs waste the 128-wide MXU, the
-    # SD form feeds it 12 channels (the MLPerf ResNet TPU trick)
-    stem: str = "conv7"
+    # SD form feeds it 12 channels (the MLPerf ResNet TPU trick).
+    # "auto" (default) = space_to_depth on TPU, conv7 elsewhere: measured
+    # (2026-08-21) s2d is a wash at B=1 e2e and on the B=4 train step but
+    # cuts the B=8 serving tick 8.07 -> 7.59 ms (the 7x7/3ch stem fusion
+    # alone was 1.50 ms, ~4% MFU); CPU keeps conv7 so torch-parity tests
+    # compare the reference formulation bit-for-bit.
+    stem: str = "auto"
     # which of the four stage outputs feed the neck; the reference FPN drops
     # leading levels when given fewer in_channels (fpn.py:113-116)
     out_indices: Tuple[int, ...] = (1, 2, 3)

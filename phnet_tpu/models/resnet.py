@@ -51,6 +51,12 @@ def space_to_depth_stem(x: jnp.ndarray, kernel: jnp.ndarray,
     k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # tap -1 row/col
     k = k.reshape(4, 2, 4, 2, c, o)  # [kh, p, kw, q, c, o]
     k_sd = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, o)
+    # The 6-D reshape/transpose lowers to ~0.6 ms of layout copies on the
+    # B=8 serving tick (xplane 2026-08-21, copy.1020/copy.1022) — but the
+    # "obvious" fix, strided slices + concat over the 2x2 phases, measured
+    # WORSE (9.35 vs 7.55 ms/tick: four [B,H/2,W/2,3] strided gathers on
+    # the minor dims defeat the tiler far harder than one transpose), so
+    # the transpose form stays.
     x_sd = x.reshape(b, h // 2, 2, w // 2, 2, c)
     x_sd = x_sd.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
     return jax.lax.conv_general_dilated(
@@ -136,13 +142,20 @@ class ResNetBackbone(nn.Module):
     stage_channels: Tuple[int, ...] = (64, 128, 256, 512)
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
-    stem: str = "conv7"  # "conv7" | "space_to_depth" (same function/params)
+    stem: str = "auto"  # "auto" | "conv7" | "space_to_depth" — the two
+    # concrete stems are the same function over the same params; "auto"
+    # picks space_to_depth on TPU (measured serving win, wash elsewhere)
+    # and conv7 on other backends (bit-exact torch-reference form)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
         blocks = STAGE_BLOCKS[self.depth]
         block_cls = BasicBlock if self.depth < 50 else Bottleneck
-        if self.stem == "space_to_depth":
+        stem = self.stem
+        if stem == "auto":
+            stem = ("space_to_depth" if jax.default_backend() == "tpu"
+                    else "conv7")
+        if stem == "space_to_depth":
             # same "Conv_0/kernel" param tree as the nn.Conv branch (the
             # dict-valued-param trick from dynamic_conv._dense_param), so
             # the two stems are checkpoint-interchangeable

@@ -2,19 +2,20 @@
 
 Production deployment runs many camera streams per chip. A single stream
 ticks at ~1.9 ms (~515 fps) while batching raises aggregate throughput to
-~822 fps at B=4 and ~943 fps at B=8 on a v5e (device-resident inputs,
-measured post round-2 optimization) — so the server packs up to
-``max_streams`` live videos into one batched jitted step and keeps a
-per-stream temporal memory slot (the fixed-shape ring buffer makes
-per-stream reset a pure masked write: no recompilation when streams
-attach/detach mid-flight).
+~822 fps at B=4 and **~1059 fps at B=8** on a v5e (device-resident
+inputs, round-4: one-hot memory write + auto space-to-depth stem) — so
+the server packs up to ``max_streams`` live videos into one batched
+jitted step and keeps a per-stream temporal memory slot (the fixed-shape
+ring buffer makes per-stream reset a pure masked write: no recompilation
+when streams attach/detach mid-flight).
 
 Per-chip stream count has a measured knee at **B=8** (see
-``tools/serving_sweep.py``: B=1/4/8/16/32 → 357/729/896/762/522
-aggregate fps on one v5e) — past 8 the per-anchor generated-weight
-tensors ([B, A, C, 2C]) outgrow VMEM and the tick goes superlinear. To
-serve more cameras, hold B=8 per chip and widen the mesh
-(``StreamingServer(mesh=...)`` shards streams over the data axis).
+``tools/serving_sweep.py``; round-4 sweep: B=8/12/16 →
+1059/906/891 aggregate fps) — past 8 the router chain's f32
+intermediates spill VMEM (``router_chain_bf16`` auto-enables there but
+only softens it). To serve more cameras, hold B=8 per chip and widen
+the mesh (``StreamingServer(mesh=...)`` shards streams over the data
+axis).
 
 The reference has no serving stack (SURVEY.md §2.8: inference = offline
 scripts); this is a TPU-native addition for the online use case the model

@@ -229,6 +229,105 @@ def _overfit_and_score(cfg, tmp_path, steps=200, lr=4e-3, seed=7):
     return losses, aggregate_results(results)
 
 
+def _train_multi_and_score_heldout(cfg, tmp_path, n_train, n_test, steps_list,
+                                   lr, seed_train=21, seed_test=99):
+    """Generalization gate body: train one batched step over ``n_train``
+    synthetic clips, score the full emit->score pipeline on ``n_test``
+    UNSEEN clips (same generator, disjoint seeds) at each checkpoint in
+    ``steps_list``. Returns (losses, [(train_agg, heldout_agg), ...]).
+
+    Scoring several checkpoints and gating on the best mirrors the OL
+    overfit gate's protocol: the toy trajectory is chaotic (fma/fusion
+    differences between machines visibly shift WHERE the generalization
+    peak lands), so the gate tests that the pipeline can express a
+    generalizing solution, not that the peak lands on one exact step."""
+    import glob
+
+    model = PHNet(cfg.model)
+    ds_tr = SyntheticVideoDataset(
+        n_videos=n_train, frames_per_video=4, img_h=H, img_w=W,
+        spec=cfg.model.lane, max_lanes=cfg.model.max_lanes, seed=seed_train)
+    ds_te = SyntheticVideoDataset(
+        n_videos=n_test, frames_per_video=4, img_h=H, img_w=W,
+        spec=cfg.model.lane, max_lanes=cfg.model.max_lanes, seed=seed_test)
+    frames = jnp.asarray(
+        np.stack([ds_tr[i]["frames"] for i in range(n_train)]))
+    labels = jnp.asarray(
+        np.stack([ds_tr[i]["labels"] for i in range(n_train)]))
+
+    tcfg = dataclasses.replace(cfg.train, learning_rate=lr)
+    tx = build_optimizer(tcfg, total_steps=2500)
+    state = create_train_state(
+        model, cfg.model, jax.random.key(0), frames, labels, tx)
+    step = jax.jit(make_train_step(
+        model, LaneCriterion(cfg.model, tcfg.loss), tx))
+
+    def _score(variables, ds, tag):
+        pred_dir = str(tmp_path / f"pred_{tag}")
+        anno_dir = str(tmp_path / f"anno_{tag}")
+        pipe = InferencePipeline(cfg, variables, chunk=4)
+        pipe.run_and_emit(ds, pred_dir, anno_dir, fmt="vil")
+        results = []
+        for pf in sorted(glob.glob(
+                os.path.join(pred_dir, "*", "*.lines.txt"))):
+            af = pf.replace(pred_dir, anno_dir)
+            results.append(culane_metric(
+                read_lines_txt(pf), read_lines_txt(af), (H, W, 3)))
+        return aggregate_results(results)
+
+    losses, scored, done = [], [], 0
+    for ckpt in steps_list:
+        for i in range(done, ckpt):
+            state, metrics = step(state, frames, labels, jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+        done = ckpt
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        scored.append((_score(variables, ds_tr, f"train{ckpt}"),
+                       _score(variables, ds_te, f"heldout{ckpt}")))
+    return losses, scored
+
+
+def test_synthetic_generalization_f1_floor(tmp_path):
+    """Held-out gate, VIL preset (VERDICT r3 #5): train on 4 clips, score 3
+    clips the model never saw. Unlike the overfit gates this catches
+    learning-dynamics regressions (e.g. a loss-term scale error that still
+    overfits). Floor from a measured margin, not fiat — and pinned to the
+    WEAKEST observed environment: the held-out trajectory at this toy
+    scale is chaotic across matmul precisions/hosts (measured best-of-
+    {400,600} F1: 0.667 under default precision, 0.478 under the suite's
+    HIGHEST precision on a 1-core host), so the gate floors at F1 >= 0.38
+    / mIoU >= 0.40. That is far above what a real learning-dynamics
+    regression produces (a mis-scaled loss term leaves held-out F1 near
+    0 while still overfitting the train clips), which is what this gate
+    exists to catch."""
+    losses, scored = _train_multi_and_score_heldout(
+        quality_cfg(), tmp_path, n_train=4, n_test=3,
+        steps_list=(400, 600), lr=2e-3)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+    assert max(tr["F1"] for tr, _ in scored) >= 0.8, scored
+    best = max((te for _, te in scored), key=lambda a: a["F1"])
+    assert best["F1"] >= 0.38, scored
+    assert best["miou"] >= 0.40, scored
+
+
+def test_synthetic_generalization_f1_floor_ol(tmp_path):
+    """Held-out gate, OL preset (soft routing, separate offsets head,
+    window-5 memory, blend_cls + LaneIoU criterion). Calibration sweep
+    2026-08-20: held-out F1 0.590 / mIoU 0.550 at step 400 (0.603 at 600,
+    plateaued) -> floor F1 >= 0.45 / mIoU >= 0.45 at the best of two
+    checkpoints (400/600)."""
+    losses, scored = _train_multi_and_score_heldout(
+        quality_cfg_ol(), tmp_path, n_train=4, n_test=3,
+        steps_list=(400, 600), lr=4e-3)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.7 * losses[0], (losses[0], losses[-1])
+    assert max(tr["F1"] for tr, _ in scored) >= 0.8, scored
+    best = max((te for _, te in scored), key=lambda a: a["F1"])
+    assert best["F1"] >= 0.45, scored
+    assert best["miou"] >= 0.45, scored
+
+
 def test_synthetic_overfit_f1_floor_multiscale(tmp_path):
     """Multi-scale preset gate (measured sweep 2026-08-19: lr=4e-3 seed=7
     reaches F1=1.000 / mIoU 0.942 by step 200)."""

@@ -47,6 +47,12 @@ def main(argv=None):
                     help="A/B the fused Pallas router chain (fixed VMEM "
                          "footprint) against XLA's fusion, whose f32 "
                          "[B*A, C, P] intermediates spill past B=8")
+    ap.add_argument("--stem", choices=("conv7", "space_to_depth"),
+                    default=None,
+                    help="A/B the backbone stem: the 7x7/s2 conv on 3 "
+                         "input channels runs ~4% MFU at B=8 (18% of the "
+                         "tick, xplane 2026-08-21); space_to_depth "
+                         "refeeds it 48 channels")
     ap.add_argument("--router-bf16", action="store_true",
                     help="A/B bf16 router-chain intermediates (halves the "
                          "spilling buffers; inference-only)")
@@ -73,6 +79,9 @@ def main(argv=None):
                                router_chain_bf16=args.router_bf16)
     cfg = dataclasses.replace(base.model, compute_dtype="bfloat16",
                               quantize=args.quantize, head=head)
+    if args.stem:
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, stem=args.stem))
     model = PHNet(cfg)
 
     rng = np.random.default_rng(0)
