@@ -64,6 +64,70 @@ def _collapse_wins(in_dim: int, hid: int, out_dim: int) -> bool:
     return hid * (in_dim + out_dim) >= in_dim * out_dim
 
 
+def combine_dynamic_params(p: Dict, hidden_dim: int, dim_factor: int = 2,
+                           quantize: str = "none", c_major: bool = False,
+                           dtype=None) -> Dict:
+    """Pure-function twin of :meth:`DynamicConv.combined_weights`, for
+    hoisting the loop-invariant weight preparation OUT of a per-call jit
+    entirely (a serving tick is one jit call, so XLA re-runs the chain
+    combines, the c-major output permutation of the second generator and
+    the compute-dtype casts every tick — ~0.3-0.4 ms of the B=8 tick,
+    xplane 2026-08-21). ``StreamingServer`` evaluates this once at init
+    and feeds the result through ``PHNet.apply(..., dyn_combined=...)``.
+
+    ``p``: one DynamicConv param subtree ``{gen1_a, gen1_b, gen2_a,
+    gen2_b, out_a, out_b}`` (each ``{"kernel", "bias"}``). Returns the
+    dict :meth:`DynamicConv.__call__` accepts via ``combined=`` with
+    ``pre_permuted=True``: the entries of ``combined_weights()`` (with
+    ``c_major`` permutation pre-applied to the second generator's output
+    side), plus — when the second generator stays factored un-quantized —
+    a ``"gen2_factored"`` entry ``{k1, b1, k2, b2}`` with the permutation
+    and dtype casts baked in. Exact: same ops in the same order as the
+    in-graph path."""
+    c = hidden_dim
+    d = c * dim_factor
+    pairs = {"gen1": (p["gen1_a"], p["gen1_b"]),
+             "gen2": (p["gen2_a"], p["gen2_b"]),
+             "out": (p["out_a"], p["out_b"])}
+    perm = (np.arange(d * c).reshape(d, c).T.reshape(-1)
+            if c_major else None)
+
+    if quantize != "none":
+        from ..ops.quant import quantize_colwise
+
+        out = {}
+        for name, (pa, pb) in pairs.items():
+            if _collapse_wins(*pa["kernel"].shape, pb["kernel"].shape[1]):
+                w, b = DynamicConv._combine(pa, pb)
+                wq, sw = quantize_colwise(w)
+                out[name] = {"wq": wq, "sw": sw, "b": b}
+            else:
+                wq1, sw1 = quantize_colwise(pa["kernel"])
+                wq2, sw2 = quantize_colwise(pb["kernel"])
+                out[name] = {"wq1": wq1, "sw1": sw1, "b1": pa["bias"],
+                             "wq2": wq2, "sw2": sw2, "b2": pb["bias"]}
+        if perm is not None:
+            out["gen2"] = DynamicConv._permute_out_cols(out["gen2"], perm)
+        return out
+
+    out = {}
+    cast = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
+    for name, (pa, pb) in pairs.items():
+        if _collapse_wins(*pa["kernel"].shape, pb["kernel"].shape[1]):
+            w, b = DynamicConv._combine(pa, pb)
+            if name == "gen2" and perm is not None:
+                w, b = w[:, perm], b[perm]
+            out[name] = (cast(w), cast(b))
+    if "gen2" not in out:
+        k2, b2 = p["gen2_b"]["kernel"], p["gen2_b"]["bias"]
+        if perm is not None:
+            k2, b2 = k2[:, perm], b2[perm]
+        out["gen2_factored"] = {
+            "k1": cast(p["gen2_a"]["kernel"]), "b1": cast(p["gen2_a"]["bias"]),
+            "k2": cast(k2), "b2": cast(b2)}
+    return out
+
+
 class DynamicConv(nn.Module):
     """V1 (``DynamicConv``, dynamic_head.py:6): roi channels == out dim.
     V2 (``DynamicConvV2`` :61, the multi-scale variant): per-stage roi
@@ -225,10 +289,15 @@ class DynamicConv(nn.Module):
         roi_feat: jnp.ndarray,
         combined: Optional[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]] = None,
         c_major: bool = True,
+        pre_permuted: bool = False,
     ) -> jnp.ndarray:
         """pro_feat: [B, A, pro_dim]; roi_feat: [B, A, P, C] -> [B, A, out].
         ``combined``: output of :meth:`combined_weights` evaluated outside
         the enclosing scan (optional — falls back to in-line collapse).
+        ``pre_permuted``: ``combined`` came from
+        :func:`combine_dynamic_params` with the c-major permutation (and a
+        possible ``"gen2_factored"`` entry) already baked in — skip the
+        in-graph permutation work.
         ``c_major``: emit the second generated weight C-major (an exact
         static column permutation — an inference layout win, see the w2
         block below) or in the natural d-major order. Heads pass
@@ -257,7 +326,23 @@ class DynamicConv(nn.Module):
             *feats.shape[:-2], self.feat_size * d
         )
         pre2 = combined.get("gen2")
-        if c_major:
+        fac2 = combined.get("gen2_factored")
+        if fac2 is not None:
+            # hoisted factored second generator with casts (and, iff the
+            # builder was given the same c_major, the permutation) baked
+            # in — build-time and call-time c_major must agree, which the
+            # serving path guarantees (both True)
+            y = gen_in @ fac2["k1"].astype(self.dtype) + fac2["b1"].astype(
+                self.dtype)
+            w2 = y @ fac2["k2"].astype(self.dtype) + fac2["b2"].astype(
+                self.dtype)
+            if c_major:
+                w2 = w2.reshape(*w2.shape[:-1], c, d)
+                feats = jnp.einsum("bapd,bacd->bapc", feats, w2)
+            else:
+                w2 = w2.reshape(*w2.shape[:-1], d, c)
+                feats = jnp.einsum("bapd,badc->bapc", feats, w2)
+        elif c_major:
             # Emit w2 C-MAJOR by permuting the last generator's output
             # columns (exact — a static permutation of parameter columns,
             # hoisted out of the frame scan by XLA's loop-invariant code
@@ -268,7 +353,8 @@ class DynamicConv(nn.Module):
             # stage (xplane B=32 serving tick: ~2.5 ms, 6% of the tick).
             perm = np.arange(d * c).reshape(d, c).T.reshape(-1)
             if pre2 is not None:
-                pre2 = self._permute_out_cols(pre2, perm)
+                if not pre_permuted:
+                    pre2 = self._permute_out_cols(pre2, perm)
                 g2b_p = self.g2b  # unused: _affine_chain takes pre2 path
             else:
                 g2b_p = {"kernel": self.g2b["kernel"][:, perm],

@@ -329,7 +329,8 @@ class LaneHead(nn.Module):
         ``dynamic_conv.py`` docstring)."""
         return tuple(dyn.combined_weights() for dyn in self.dyn_heads)
 
-    def _stage_local(self, s, level, priors, pro_feat, pos, train, combined):
+    def _stage_local(self, s, level, priors, pro_feat, pos, train, combined,
+                     pre_permuted=False):
         """Frame-local work of one refine stage: pool anchor features,
         router score, DynamicConv, first branch, attention features. No
         memory dependence — for stage 0 (fixed priors) this is evaluable
@@ -341,7 +342,8 @@ class LaneHead(nn.Module):
             train=train,
         )[..., 0]  # [B, A]
         decode_feat = self.dyn_heads[s](pro_feat, pooled, combined=combined,
-                                        c_major=not train)
+                                        c_major=not train,
+                                        pre_permuted=pre_permuted)
         fir_full, fir_lines = self._branch(decode_feat, self.heads_fir,
                                            priors)
         attn_feat = jnp.concatenate(
@@ -350,7 +352,8 @@ class LaneHead(nn.Module):
         )  # [B, A, 2C]
         return diff, decode_feat, fir_full, fir_lines, attn_feat
 
-    def stage0_forward(self, level0, train=False, dyn_combined=None):
+    def stage0_forward(self, level0, train=False, dyn_combined=None,
+                       dyn_pre_permuted=False):
         """Stage 0 batched over a flattened frame axis.
 
         level0: [N, h, w, c] coarsest FPN level with N = T*B (any batching
@@ -372,7 +375,8 @@ class LaneHead(nn.Module):
         pos = self.pos_encoding()
         return self._stage_local(
             0, level0, priors, pro_feat, pos, train,
-            dyn_combined[0] if dyn_combined else None)
+            dyn_combined[0] if dyn_combined else None,
+            pre_permuted=dyn_pre_permuted)
 
     # -- forward -----------------------------------------------------------
     def __call__(
@@ -383,6 +387,7 @@ class LaneHead(nn.Module):
         train: bool = False,
         dyn_combined=None,
         stage0=None,
+        dyn_pre_permuted: bool = False,
     ) -> HeadOutputs:
         """One frame.
 
@@ -420,7 +425,8 @@ class LaneHead(nn.Module):
                 diff, decode_feat, fir_full, fir_lines, attn_feat = (
                     self._stage_local(
                         s, levels[s], priors, pro_feat, pos, train,
-                        dyn_combined[s] if dyn_combined else None))
+                        dyn_combined[s] if dyn_combined else None,
+                        pre_permuted=dyn_pre_permuted))
             diffs.append(diff)
             pro_feat = jax.lax.stop_gradient(decode_feat)  # iterative enhance
             preds_fir.append(fir_full)

@@ -136,6 +136,9 @@ class _FrameStep(nn.Module):
 
     cfg: ModelConfig
     train_mode: bool
+    # dyn_combined was built OUTSIDE apply() by combine_dynamic_params
+    # (permutation/casts baked in) — see PHNet.__call__'s dyn_combined arg
+    pre_permuted: bool = False
 
     def setup(self):
         h = self.cfg.head
@@ -170,7 +173,8 @@ class _FrameStep(nn.Module):
         lv = feats[-1]  # coarsest level = stage 0 (head reverses levels)
         t, b = lv.shape[:2]
         flat = lv.reshape((t * b,) + lv.shape[2:])
-        outs = fn(flat, train=self.train_mode, dyn_combined=dyn_combined)
+        outs = fn(flat, train=self.train_mode, dyn_combined=dyn_combined,
+                  dyn_pre_permuted=self.pre_permuted)
         return tuple(o.reshape((t, b) + o.shape[1:]) for o in outs)
 
     def _nms_keeps(self, routed: jnp.ndarray):
@@ -301,8 +305,12 @@ class _FrameStep(nn.Module):
         mem_flat_mask = carry.mask.reshape(b, window * slots)
 
         # multi-scale heads have no stage0_forward (stage0 is then None) and
-        # no stage0 kwarg — pass it only when the hoist produced something
+        # no stage0 kwarg — pass it only when the hoist produced something;
+        # same for dyn_pre_permuted (base LaneHead only — the server never
+        # builds an external dyn_combined for the other variants)
         kw = {"stage0": stage0} if stage0 is not None else {}
+        if self.pre_permuted:
+            kw["dyn_pre_permuted"] = True
         out = self.head(feats, mem_flat_vals, mem_flat_mask,
                         train=self.train_mode, dyn_combined=dyn_combined,
                         **kw)
@@ -424,6 +432,7 @@ class PHNet(nn.Module):
         labels: Optional[jnp.ndarray] = None,
         train: bool = False,
         initial_memory: Optional[MemoryState] = None,
+        dyn_combined=None,
     ):
         if train and self.cfg.quantize != "none":
             raise ValueError(
@@ -432,7 +441,8 @@ class PHNet(nn.Module):
                 "serving/eval" % (self.cfg.quantize,))
         feats = self.encode(frames, train=train)
         return self.detect(feats, labels, train=train,
-                           initial_memory=initial_memory)
+                           initial_memory=initial_memory,
+                           dyn_combined=dyn_combined)
 
     def encode(self, frames: jnp.ndarray, train: bool = False):
         """Backbone + FPN over all clip frames; tuple of [T, B, h, w, c]."""
@@ -451,6 +461,7 @@ class PHNet(nn.Module):
         labels: Optional[jnp.ndarray] = None,
         train: bool = False,
         initial_memory: Optional[MemoryState] = None,
+        dyn_combined=None,
     ):
         """Per-frame head scan over precomputed FPN features (separated from
         ``encode`` so gradients to the feature maps — e.g. Grad-CAM — are one
@@ -467,13 +478,19 @@ class PHNet(nn.Module):
         else:
             labels_t = labels.swapaxes(0, 1)
 
-        frame = _FrameStep(cfg=cfg, train_mode=train, name="frame")
+        external_dyn = dyn_combined is not None
+        frame = _FrameStep(cfg=cfg, train_mode=train,
+                           pre_permuted=external_dyn, name="frame")
         # collapsed DynamicConv generator weights: computed OUTSIDE the scan
         # so lax.scan's VJP accumulates the small combined cotangents
         # (e.g. [64, 8192]) instead of the factored params ([1024, 8192]
         # etc. — ~290 MB of accumulator traffic per backward frame on the
         # VIL preset); the combined->factored chain rule runs once per step.
-        dyn_combined = frame.precompute()
+        # A caller (the streaming server) can instead pass dyn_combined
+        # built by combine_dynamic_params OUTSIDE the jit entirely, which
+        # also hoists it across serving ticks.
+        if not external_dyn:
+            dyn_combined = frame.precompute()
         # stage 0 is frame-local (fixed priors, no memory): evaluate it for
         # ALL frames in one batched call BEFORE the scan — its weights
         # stream from HBM once per clip instead of once per frame (the

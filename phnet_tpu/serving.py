@@ -86,6 +86,34 @@ class StreamingServer:
             self._rep = replicate_sharding(mesh)
             variables = jax.device_put(variables, self._rep)
         self.variables = variables
+        # Hoist the DynamicConv loop-invariant weight preparation (chain
+        # combines, c-major output permutation, compute-dtype casts) OUT
+        # of the per-tick jit: a tick is one jit call, so XLA re-runs all
+        # of it every tick otherwise (~0.3-0.4 ms of the B=8 tick, xplane
+        # 2026-08-21). Base LaneHead only — the other variants keep the
+        # in-graph precompute.
+        self._dyn = None
+        h = self.mcfg.head
+        if not h.propagate_priors and h.variant != "multi":
+            try:
+                from .models.dynamic_conv import combine_dynamic_params
+
+                hp = variables["params"]["frame"]["head"]
+                dt = (jnp.bfloat16 if self.mcfg.compute_dtype == "bfloat16"
+                      else jnp.float32)
+                self._dyn = tuple(
+                    combine_dynamic_params(
+                        hp[f"dyn_head_{s}"], h.fc_hidden_dim,
+                        h.dyn_dim_factor, quantize=self.mcfg.quantize,
+                        c_major=True, dtype=dt)
+                    for s in range(h.refine_layers))
+                if mesh is not None:
+                    self._dyn = jax.device_put(self._dyn, self._rep)
+                else:
+                    self._dyn = jax.tree_util.tree_map(
+                        jnp.asarray, self._dyn)
+            except KeyError:
+                self._dyn = None  # foreign param layout: in-graph fallback
         window = memory_window or (
             self.mcfg.memory.window if self.mcfg.memory.window > 0 else 64
         )
@@ -124,9 +152,10 @@ class StreamingServer:
         self._n_frames = 0
         self._frames_per_stream = np.zeros(max_streams, np.int64)
 
-        def step(variables, frames, mem, row_mask):
+        def step(variables, frames, mem, row_mask, dyn):
             outs, new_mem = self.model.apply(
-                variables, frames, None, train=False, initial_memory=mem
+                variables, frames, None, train=False, initial_memory=mem,
+                dyn_combined=dyn,
             )
 
             # streams with no new frame this tick keep their pre-step
@@ -249,7 +278,7 @@ class StreamingServer:
         row_mask = (jax.device_put(row_mask, self._bsh)
                     if self.mesh is not None else jnp.asarray(row_mask))
         kept, valid, self.memory = self._step(
-            self.variables, batch, self.memory, row_mask)
+            self.variables, batch, self.memory, row_mask, self._dyn)
         self._tick_wall.append(time.perf_counter() - t0)
         self._n_ticks += 1
         self._n_frames += len(frames)
