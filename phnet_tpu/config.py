@@ -164,6 +164,13 @@ class HeadConfig:
     # VMEM spill point (serving sweep 2026-08-19: +13% at B=16, -7% at
     # B=8); everywhere else None behaves as False. Set True/False to pin.
     router_chain_bf16: Optional[bool] = None
+    # force the router conv chain to f32 in TRAINING even when
+    # compute_dtype is bf16 — the A/B switch for the round-4 decision to
+    # let the training chain follow the mixed-precision policy (a
+    # deliberate numerics divergence from the reference's always-f32
+    # chain, guarded by the held-out generalization gates). Pin True to
+    # recover the parity-exact training chain on a real-dataset run.
+    router_train_chain_f32: bool = False
     # DynamicConv (dynamic_head.py:6-59)
     dyn_dim_factor: int = 2  # dim_dynamic = inplanes * factor
     dyn_param_reduction: int = 8  # hidden of the weight-generator MLPs

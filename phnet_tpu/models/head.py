@@ -194,6 +194,7 @@ class LaneHead(nn.Module):
                 dtype=compute_dtype,
                 use_pallas_kernel=h.router_pallas,
                 chain_bf16=bool(h.router_chain_bf16),  # None (auto) = off
+                train_chain_f32=h.router_train_chain_f32,
                 # here; StreamingServer resolves auto by batch (config.py)
                 name=f"router_{s}",
             )

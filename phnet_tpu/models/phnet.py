@@ -173,8 +173,13 @@ class _FrameStep(nn.Module):
         lv = feats[-1]  # coarsest level = stage 0 (head reverses levels)
         t, b = lv.shape[:2]
         flat = lv.reshape((t * b,) + lv.shape[2:])
+        kw = {}
+        if self.pre_permuted:
+            # base LaneHead only (multi-scale stage0_forward doesn't take
+            # the kwarg; pre_permuted is never set for that variant)
+            kw["dyn_pre_permuted"] = True
         outs = fn(flat, train=self.train_mode, dyn_combined=dyn_combined,
-                  dyn_pre_permuted=self.pre_permuted)
+                  **kw)
         return tuple(o.reshape((t, b) + o.shape[1:]) for o in outs)
 
     def _nms_keeps(self, routed: jnp.ndarray):
@@ -386,12 +391,19 @@ def _write_memory_per_stage(
         # serving tick: the [S, B, A, D] row gather was 0.36 ms, 4% of
         # the tick), and its transpose (the backward) is another einsum
         # rather than a scatter.
+        # precision=HIGHEST keeps the f32 features exact on TPU: under
+        # DEFAULT matmul precision the f32 operand would be truncated to
+        # bf16, silently rounding the memory ring vs the gather this
+        # einsum replaced (and tests pin highest globally, so the
+        # divergence would be deploy-only). Negligible cost at [B,L,A].
+        hi = jax.lax.Precision.HIGHEST
         oh = jax.nn.one_hot(idx, a, dtype=feats_s.dtype)  # [B, L, A]
-        pos = jnp.einsum("bla,bad->bld", oh, feats_s)  # [B, L, D]
+        pos = jnp.einsum("bla,bad->bld", oh, feats_s, precision=hi)
         pos = jnp.where(slot_valid[..., None], pos, 0.0)
         pos_onehot = (oh * slot_valid[..., None].astype(oh.dtype)).sum(1)
         n_pos = slot_valid.sum(-1).astype(feats_s.dtype)
-        neg = (feats_s.sum(1) - jnp.einsum("bad,ba->bd", feats_s, pos_onehot)) / (
+        neg = (feats_s.sum(1) - jnp.einsum(
+            "bad,ba->bd", feats_s, pos_onehot, precision=hi)) / (
             jnp.maximum(a - n_pos, 1.0)[:, None]
         )
         return jnp.concatenate([pos, neg[:, None, :]], axis=1)  # [B, L+1, D]

@@ -87,6 +87,9 @@ class AdaptiveRouter(nn.Module):
     # serving batches (B=8->16 tick: 1.07 -> 5.92 ms, xplane
     # 2026-08-19). A/B per deployment; off by default.
     chain_bf16: bool = False
+    # force the f32 chain in training regardless of self.dtype (the
+    # HeadConfig.router_train_chain_f32 A/B switch).
+    train_chain_f32: bool = False
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -135,7 +138,7 @@ class AdaptiveRouter(nn.Module):
             # run compute_dtype=f32 and are bit-identical. Inference keeps
             # the measured per-batch policy (chain_bf16 / serving auto).
             if train:
-                cdtype = self.dtype
+                cdtype = jnp.float32 if self.train_chain_f32 else self.dtype
             else:
                 cdtype = jnp.bfloat16 if self.chain_bf16 else jnp.float32
             x = feats.astype(jnp.float32).reshape(b * a, c, p)

@@ -85,35 +85,7 @@ class StreamingServer:
             self._bsh = batch_sharding(mesh)
             self._rep = replicate_sharding(mesh)
             variables = jax.device_put(variables, self._rep)
-        self.variables = variables
-        # Hoist the DynamicConv loop-invariant weight preparation (chain
-        # combines, c-major output permutation, compute-dtype casts) OUT
-        # of the per-tick jit: a tick is one jit call, so XLA re-runs all
-        # of it every tick otherwise (~0.3-0.4 ms of the B=8 tick, xplane
-        # 2026-08-21). Base LaneHead only — the other variants keep the
-        # in-graph precompute.
-        self._dyn = None
-        h = self.mcfg.head
-        if not h.propagate_priors and h.variant != "multi":
-            try:
-                from .models.dynamic_conv import combine_dynamic_params
-
-                hp = variables["params"]["frame"]["head"]
-                dt = (jnp.bfloat16 if self.mcfg.compute_dtype == "bfloat16"
-                      else jnp.float32)
-                self._dyn = tuple(
-                    combine_dynamic_params(
-                        hp[f"dyn_head_{s}"], h.fc_hidden_dim,
-                        h.dyn_dim_factor, quantize=self.mcfg.quantize,
-                        c_major=True, dtype=dt)
-                    for s in range(h.refine_layers))
-                if mesh is not None:
-                    self._dyn = jax.device_put(self._dyn, self._rep)
-                else:
-                    self._dyn = jax.tree_util.tree_map(
-                        jnp.asarray, self._dyn)
-            except KeyError:
-                self._dyn = None  # foreign param layout: in-graph fallback
+        self.update_variables(variables, _device_put=False)
         window = memory_window or (
             self.mcfg.memory.window if self.mcfg.memory.window > 0 else 64
         )
@@ -186,6 +158,44 @@ class StreamingServer:
             return outs.kept[0], outs.kept_valid[0], out_mem
 
         self._step = jax.jit(step, donate_argnums=(2,))
+
+    def update_variables(self, variables, _device_put: bool = True):
+        """Swap the served weights (checkpoint hot-reload). Rebuilds the
+        pre-combined DynamicConv weights (``self._dyn``) so the hoisted
+        fast path never serves stale weights after a swap — assigning
+        ``self.variables`` directly would silently keep the old combines.
+
+        Hoisting rationale: the chain combines, c-major output
+        permutation and compute-dtype casts are loop-invariant, and a
+        tick is one jit call, so XLA re-runs all of it every tick
+        otherwise (~0.3-0.4 ms of the B=8 tick, xplane 2026-08-21).
+        Base LaneHead only — the other variants keep the in-graph
+        precompute."""
+        if _device_put and self.mesh is not None:
+            variables = jax.device_put(variables, self._rep)
+        self.variables = variables
+        self._dyn = None
+        h = self.mcfg.head
+        if not h.propagate_priors and h.variant != "multi":
+            try:
+                from .models.dynamic_conv import combine_dynamic_params
+
+                hp = variables["params"]["frame"]["head"]
+                dt = (jnp.bfloat16 if self.mcfg.compute_dtype == "bfloat16"
+                      else jnp.float32)
+                self._dyn = tuple(
+                    combine_dynamic_params(
+                        hp[f"dyn_head_{s}"], h.fc_hidden_dim,
+                        h.dyn_dim_factor, quantize=self.mcfg.quantize,
+                        c_major=True, dtype=dt)
+                    for s in range(h.refine_layers))
+                if self.mesh is not None:
+                    self._dyn = jax.device_put(self._dyn, self._rep)
+                else:
+                    self._dyn = jax.tree_util.tree_map(
+                        jnp.asarray, self._dyn)
+            except KeyError:
+                self._dyn = None  # foreign param layout: in-graph fallback
 
     def _put_batched(self, tree):
         """Place a stream-batched pytree: leading-axis leaves sharded over

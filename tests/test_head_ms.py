@@ -112,3 +112,21 @@ def test_multiscale_int8_inference():
     # numerical closeness on random (untrained) weights is not meaningful
     # at the post-NMS surface — the trained-model quality bound lives in
     # tests/test_e2e_quality.py (quantized F1 gate)
+
+def test_multiscale_stage0_hoist_forward():
+    """head.variant='multi' + stage0_hoist=True must not raise: the hoist
+    call only forwards dyn_pre_permuted when pre-permuted weights are
+    actually in play (base LaneHead), since the multi-scale
+    stage0_forward doesn't take the kwarg (ADVICE r4 regression)."""
+    cfg = dataclasses.replace(
+        tiny_ms_cfg(),
+        head=dataclasses.replace(tiny_ms_cfg().head, stage0_hoist=True))
+    model = PHNet(cfg)
+    rng = np.random.default_rng(3)
+    frames = jnp.array(rng.normal(size=(1, 2, cfg.img_h, cfg.img_w, 3)),
+                       jnp.float32)
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames)
+    outs, _ = jax.jit(lambda v, f: model.apply(v, f, None, train=False))(
+        variables, frames)
+    assert np.isfinite(np.array(outs.kept)).all()

@@ -77,6 +77,30 @@ def test_router_chain_bf16_close_and_train_exact():
     assert np.abs(out - ref).max() < 0.05, np.abs(out - ref).max()
 
 
+def test_router_train_chain_f32_switch():
+    """router_train_chain_f32 pins the TRAINING chain to f32 under a bf16
+    mixed-precision policy (the A/B switch for the round-4 decision to let
+    the train chain follow compute_dtype — ADVICE r4): with the flag the
+    bf16-policy train chain must match the f32-policy eval chain exactly
+    in its chain intermediates (MLP still runs in self.dtype, so compare
+    against the bf16-MLP eval path, whose chain is also f32)."""
+    kw = dict(num_anchors=32, channels=16, points=12, dtype=jnp.bfloat16)
+    forced = AdaptiveRouter(train_chain_f32=True, **kw)
+    plain = AdaptiveRouter(**kw)
+    rng = np.random.default_rng(13)
+    feats = jnp.asarray(rng.normal(size=(2, 32, 16, 12)).astype(np.float32))
+    v = forced.init(jax.random.key(0), feats)
+    # train+forced runs chain f32 / MLP bf16 — identical computation to
+    # eval with chain_bf16=False (chain f32 / MLP bf16)
+    np.testing.assert_array_equal(
+        np.array(forced.apply(v, feats, train=True)),
+        np.array(plain.apply(v, feats, train=False)))
+    # without the flag the train chain follows dtype=bf16 and diverges
+    out_bf16 = np.array(plain.apply(v, feats, train=True))
+    assert np.abs(
+        out_bf16 - np.array(forced.apply(v, feats, train=True))).max() > 0
+
+
 def test_router_gradients_flow():
     router = AdaptiveRouter(num_anchors=32, channels=16, points=12)
     rng = np.random.default_rng(2)

@@ -246,3 +246,36 @@ def test_router_chain_bf16_auto_by_batch(server_setup):
             cfg.model.head, router_chain_bf16=False)))
     srv = StreamingServer(pinned, variables, max_streams=16, memory_window=4)
     assert srv.mcfg.head.router_chain_bf16 is False
+
+
+def test_update_variables_rebuilds_combined_weights(server_setup):
+    """Checkpoint hot-reload: swapping weights through update_variables
+    must refresh the pre-combined DynamicConv fast path — serving with
+    swapped weights must equal a server constructed with them directly
+    (ADVICE r4: a bare ``self.variables = ...`` assignment kept serving
+    stale combines)."""
+    cfg, variables = server_setup
+    mcfg = cfg.model
+    clip = synthetic_clip(seed=11, t=2, img_h=mcfg.img_h, img_w=mcfg.img_w,
+                          spec=mcfg.lane, max_lanes=mcfg.max_lanes)
+
+    model = PHNet(mcfg)
+    frames0 = jnp.zeros((2, 1, mcfg.img_h, mcfg.img_w, 3))
+    variables2 = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(42), "dropout": jax.random.key(43)},
+        frames0)
+
+    swapped = StreamingServer(cfg, variables, max_streams=1, memory_window=4)
+    assert swapped._dyn is not None  # the fast path this test protects
+    old_dyn = swapped._dyn
+    swapped.update_variables(variables2)
+    assert swapped._dyn is not old_dyn
+    fresh = StreamingServer(cfg, variables2, max_streams=1, memory_window=4)
+
+    sa, sb = swapped.attach(), fresh.attach()
+    for t in range(2):
+        out_a = swapped.step({sa: clip["frames"][t]})[sa]
+        out_b = fresh.step({sb: clip["frames"][t]})[sb]
+        assert len(out_a) == len(out_b)
+        for la, lb in zip(out_a, out_b):
+            np.testing.assert_allclose(la.points, lb.points, atol=1e-5)
