@@ -92,13 +92,27 @@ class BackboneConfig:
     # channels; "space_to_depth" = the SAME function (exact, same params,
     # checkpoint-compatible) computed as a 4x4/s1 conv on a 2x2
     # space-to-depth input — 3-channel convs waste the 128-wide MXU, the
-    # SD form feeds it 12 channels (the MLPerf ResNet TPU trick).
+    # SD form feeds it 12 channels (the MLPerf ResNet TPU trick);
+    # "width_packed" = the zero-copy half of the same trick (7x4/s(2,1)
+    # conv on a free-reshape [B,H,W/2,6] input — the full SD transpose
+    # cost ~0.93 ms/tick of thin-channel layout copies at serving B=8).
     # "auto" (default) = space_to_depth on TPU, conv7 elsewhere: measured
     # (2026-08-21) s2d is a wash at B=1 e2e and on the B=4 train step but
     # cuts the B=8 serving tick 8.07 -> 7.59 ms (the 7x7/3ch stem fusion
     # alone was 1.50 ms, ~4% MFU); CPU keeps conv7 so torch-parity tests
     # compare the reference formulation bit-for-bit.
     stem: str = "auto"
+    # backward formulation for the stem max-pool: "scatter" = XLA's
+    # default select-and-scatter (~4.7 ms of the B=4 train step,
+    # profiles/train_b4_2026-08-20.txt); "onehot" = the custom
+    # equality-routed VJP in ops/pool.py (static strided slices +
+    # interior-padded adds). MEASURED NEGATIVE on v5e (2026-08-21, B=4
+    # unroll=1 train_bench A/B): onehot 171.6 fps vs scatter 216.1 —
+    # the nine input-resolution padded accumulations cost ~80 ms/step,
+    # far more than the 4.7 ms they replace; select-and-scatter is
+    # already near its ~1.5 GB/step bandwidth bound here. Kept behind
+    # the flag (grad-exact vs scatter on unique maxima, tested).
+    pool_vjp: str = "scatter"
     # which of the four stage outputs feed the neck; the reference FPN drops
     # leading levels when given fewer in_channels (fpn.py:113-116)
     out_indices: Tuple[int, ...] = (1, 2, 3)
@@ -268,6 +282,14 @@ class ModelConfig:
     # NMS implementation: "auto" (pallas on TPU, pure-jax elsewhere),
     # "pallas", or "jax"
     nms_backend: str = "auto"
+    # training label assigner, run inside the frame scan:
+    #   "hungarian" — batched JV solve == scipy linear_sum_assignment,
+    #                 the reference's shipped path (dynamic_assign.py:190)
+    #   "dynamic_k" — SimOTA over the same costs (the reference's own
+    #                 in-tree alternative, dynamic_assign.py:83-125),
+    #                 reduced to one-prior-per-target; replaces the JV
+    #                 augmenting-path while-loop with top-k + fori_loop
+    train_assigner: str = "hungarian"
     # unroll factor of the temporal scan (trades compile time for loop
     # overhead; 1 = plain lax.scan)
     scan_unroll: int = 1
@@ -316,7 +338,10 @@ class LossConfig:
     lane_iou_width: float = 7.5 / 768.0
     lane_iou_img_h: int = 400
     lane_iou_img_w: int = 960
-    assigner: str = "hungarian"  # "hungarian" (parity) or "dynamic_k" (fast)
+    # NOTE: the training assigner is selected by ``ModelConfig.
+    # train_assigner`` (the assignment runs inside the model's frame scan,
+    # which only sees ModelConfig); the criterion's no-precomputed-matches
+    # fallback always uses Hungarian.
 
 
 @dataclass(frozen=True)

@@ -38,6 +38,7 @@ class Encoder(nn.Module):
                 norm=bcfg.norm,
                 dtype=dtype,
                 stem=bcfg.stem,
+                pool_vjp=bcfg.pool_vjp,
                 name="backbone",
             )(frames.astype(dtype), train=train)
         feats = [feats[i] for i in self.cfg.backbone.out_indices]

@@ -31,7 +31,17 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..losses.assign import assign_frame
+from ..losses.assign import assign_frame, dynamic_k_frame
+
+
+def _assign_train(cfg, predictions, targets, target_valid, spec):
+    """Training assigner selected by ``ModelConfig.train_assigner``:
+    "hungarian" (parity default) or "dynamic_k" (SimOTA fast path)."""
+    if cfg.train_assigner == "dynamic_k":
+        return dynamic_k_frame(
+            predictions, targets, target_valid, spec, cfg.img_w, cfg.img_h)
+    return assign_frame(
+        predictions, targets, target_valid, spec, cfg.img_w, cfg.img_h)
 from ..ops.nms import lane_nms, nms_proposals_from_predictions
 from .encoder import Encoder
 from .head import HeadOutputs, LaneHead
@@ -235,8 +245,8 @@ class _FrameStep(nn.Module):
         if self.train_mode:
             target_valid = label[..., 1] == 1.0
             assign_batch = jax.vmap(
-                lambda p, tt, vv: assign_frame(
-                    p, tt, vv, spec, cfg.img_w, cfg.img_h)
+                lambda p, tt, vv: _assign_train(
+                    cfg, p, tt, vv, spec)
             )
             # one batched JV solve for BOTH branches: fir rows ride the same
             # vmapped axis as sec, halving the while-loop fixed costs vs a
@@ -325,7 +335,7 @@ class _FrameStep(nn.Module):
             target_valid = label[..., 1] == 1.0
 
             assign_batch = jax.vmap(
-                lambda p, tt, vv: assign_frame(p, tt, vv, spec, cfg.img_w, cfg.img_h)
+                lambda p, tt, vv: _assign_train(cfg, p, tt, vv, spec)
             )
             # matched priors of the *second* branch per stage feed the memory
             # (``RouterWithB.forward``: saveMemory(matched_sec, curr_cut));

@@ -17,6 +17,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.pool import max_pool_3x3_s2
+
 STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
 
 
@@ -62,6 +64,42 @@ def space_to_depth_stem(x: jnp.ndarray, kernel: jnp.ndarray,
     return jax.lax.conv_general_dilated(
         x_sd.astype(dtype), k_sd.astype(dtype),
         window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def width_packed_stem(x: jnp.ndarray, kernel: jnp.ndarray,
+                      dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """The 7x7/stride-2/pad-3 stem conv as a 7x4/stride-(2,1) conv on a
+    width-packed input — the ZERO-copy variant of the space-to-depth trick.
+
+    ``space_to_depth_stem``'s full 2x2 packing needs a 6-D transpose that
+    lowers to ~0.93 ms of thin-channel layout copies on the B=8 serving
+    tick (xplane 2026-08-21, copy.1019/1020/1022 — minor dims (2, 3) give
+    terrible lane utilization for the copy). Packing only the WIDTH phase
+    is free: in row-major [H, W, C] memory, the channel triples of
+    columns (2m, 2m+1) are already adjacent, so [B, H, W/2, 2C] is a pure
+    reshape — no data movement — and the conv still gets 6 contraction
+    lanes instead of 3.
+
+    Derivation: output col j reads orig cols ``2j + dj - 3``; writing the
+    col as ``2m + q`` gives ``m = j + kw - 2``, ``dj = 2 kw + q - 1`` with
+    ``kw in [0, 4)``, ``q in {0, 1}`` — a [7, 4, 2C, O] kernel over the
+    packed input with width padding (2, 1), height unchanged (7 taps,
+    stride 2, pad 3); the (kw=0, q=0) taps (dj = -1) are zero. Same
+    [7,7,C,O] parameters, rearranged in-graph; exact up to float
+    reassociation (``tests/test_model.py::test_width_packed_stem_exact``).
+
+    x: [B, H, W, C] with W even; kernel: [7, 7, C, O] -> [B, H/2, W/2, O].
+    """
+    b, h, w, c = x.shape
+    assert w % 2 == 0, (h, w)
+    o = kernel.shape[-1]
+    k = jnp.pad(kernel, ((0, 0), (1, 0), (0, 0), (0, 0)))  # dj=-1 tap col
+    k = k.reshape(7, 4, 2 * c, o)  # [kh, kw, (q, c), o]
+    x_p = x.reshape(b, h, w // 2, 2 * c)
+    return jax.lax.conv_general_dilated(
+        x_p.astype(dtype), k.astype(dtype),
+        window_strides=(2, 1), padding=((3, 3), (2, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -146,6 +184,9 @@ class ResNetBackbone(nn.Module):
     # concrete stems are the same function over the same params; "auto"
     # picks space_to_depth on TPU (measured serving win, wash elsewhere)
     # and conv7 on other backends (bit-exact torch-reference form)
+    pool_vjp: str = "scatter"  # "scatter" (XLA select-and-scatter
+    # default; measured faster, see BackboneConfig.pool_vjp) | "onehot"
+    # (ops/pool.py custom VJP) — forward is identical
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
@@ -155,22 +196,28 @@ class ResNetBackbone(nn.Module):
         if stem == "auto":
             stem = ("space_to_depth" if jax.default_backend() == "tpu"
                     else "conv7")
-        if stem == "space_to_depth":
+        if stem in ("space_to_depth", "width_packed"):
             # same "Conv_0/kernel" param tree as the nn.Conv branch (the
             # dict-valued-param trick from dynamic_conv._dense_param), so
-            # the two stems are checkpoint-interchangeable
+            # the three stems are checkpoint-interchangeable
             p = self.param(
                 "Conv_0",
                 lambda key: {"kernel": nn.initializers.lecun_normal()(
                     key, (7, 7, x.shape[-1], 64))},
             )
-            x = space_to_depth_stem(x, p["kernel"], self.dtype)
+            stem_fn = (space_to_depth_stem if stem == "space_to_depth"
+                       else width_packed_stem)
+            x = stem_fn(x, p["kernel"], self.dtype)
         else:
             x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                         dtype=self.dtype)(x)
         x = Norm(self.norm, self.dtype)(x, train)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.pool_vjp == "onehot":
+            x = max_pool_3x3_s2(x)
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
 
         outs = []
         for stage, (planes, n_blocks) in enumerate(zip(self.stage_channels, blocks)):

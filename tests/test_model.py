@@ -236,6 +236,46 @@ def test_space_to_depth_stem_exact():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_width_packed_stem_exact():
+    """The width-packed stem is the SAME function as the 7x7/s2 conv
+    (zero-copy half of the space-to-depth trick): identical param tree,
+    outputs and gradients — a pure layout choice, checkpoint-safe."""
+    from phnet_tpu.models.resnet import ResNetBackbone, width_packed_stem
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 48, 64, 3)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(7, 7, 3, 8)) * 0.1, jnp.float32)
+
+    want = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = width_packed_stem(x, kernel)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=1e-5, atol=1e-5)
+
+    m_ref = ResNetBackbone(stage_channels=(8, 16, 24, 32))
+    m_wp = ResNetBackbone(stage_channels=(8, 16, 24, 32),
+                          stem="width_packed")
+    variables = m_ref.init(jax.random.key(0), x)
+    v_wp = m_wp.init(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v_wp))
+
+    outs_ref = m_ref.apply(variables, x)
+    outs_wp = m_wp.apply(variables, x)
+    for a, b in zip(outs_ref, outs_wp):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    def loss(v, module):
+        return sum(jnp.sum(o**2) for o in module.apply(v, x))
+
+    g_ref = jax.grad(loss)(variables, m_ref)["params"]["Conv_0"]["kernel"]
+    g_wp = jax.grad(loss)(variables, m_wp)["params"]["Conv_0"]["kernel"]
+    np.testing.assert_allclose(np.array(g_wp), np.array(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_stage0_hoist_equality():
     """``HeadConfig.stage0_hoist`` batches stage 0's frame-local chain over
     all clip frames outside the temporal scan. It must be the SAME function

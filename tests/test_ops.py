@@ -192,3 +192,60 @@ def test_hungarian_partial_valid():
     ours = cost[np.arange(nv), col4row[:nv]].sum()
     np.testing.assert_allclose(ours, cost[rows, cols].sum(), rtol=1e-5)
     assert len(set(col4row.tolist())) == r
+
+
+class TestMaxPoolVJP:
+    """ops/pool.py: equality-routed max-pool backward == XLA's
+    select-and-scatter VJP wherever window maxima are unique, with the
+    documented tie-split divergence."""
+
+    def _grads(self, x, fn):
+        import jax
+
+        def loss(x):
+            y = fn(x)
+            # position-dependent weights make routing errors visible
+            w = jnp.arange(y.size, dtype=y.dtype).reshape(y.shape)
+            return (y * w).sum()
+
+        return np.array(jax.grad(loss)(x))
+
+    @pytest.mark.parametrize("shape", [(2, 8, 12, 3), (1, 9, 7, 4),
+                                       (1, 48, 96, 8)])
+    def test_matches_select_and_scatter_on_distinct(self, shape):
+        import flax.linen as nn
+
+        from phnet_tpu.ops.pool import max_pool_3x3_s2
+
+        rng = np.random.default_rng(0)
+        # distinct values => unique window maxima => routing must be equal
+        x = rng.permutation(np.arange(np.prod(shape), dtype=np.float32))
+        x = jnp.asarray(x.reshape(shape))
+        ref_fn = lambda t: nn.max_pool(  # noqa: E731
+            t, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        np.testing.assert_array_equal(
+            np.array(max_pool_3x3_s2(x)), np.array(ref_fn(x)))
+        np.testing.assert_allclose(
+            self._grads(x, max_pool_3x3_s2), self._grads(x, ref_fn),
+            atol=1e-5)
+
+    def test_tie_split(self):
+        from phnet_tpu.ops.pool import max_pool_3x3_s2
+
+        # all-equal input: every window is fully tied; the split keeps
+        # total gradient mass conserved (sum dx == sum upstream weights)
+        x = jnp.zeros((1, 4, 4, 1), jnp.float32)
+        g = self._grads(x, max_pool_3x3_s2)
+        assert np.isclose(g.sum(), 0 + 1 + 2 + 3), g.sum()
+
+    def test_bf16(self):
+        from phnet_tpu.ops.pool import max_pool_3x3_s2
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(
+            rng.permutation(np.arange(2 * 8 * 8 * 4, dtype=np.float32))
+            .reshape(2, 8, 8, 4)).astype(jnp.bfloat16)
+        y = max_pool_3x3_s2(x)
+        assert y.dtype == jnp.bfloat16
+        g = self._grads(x, max_pool_3x3_s2)
+        assert np.isfinite(g.astype(np.float32)).all()

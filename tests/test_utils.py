@@ -195,6 +195,80 @@ def test_dynamic_k_assign():
     assert np.all(match.sum(1) <= 1)  # each prior matched to <= 1 target
 
 
+def test_dynamic_k_frame_recovers_obvious_assignment():
+    """dynamic_k_frame (the ModelConfig.train_assigner="dynamic_k" SimOTA
+    fast path) on near-perfect predictions must assign each valid target
+    its own generating prior — agreeing with the Hungarian path — and
+    satisfy the one-prior-per-target contract shapes."""
+    from phnet_tpu.config import LaneSpec
+    from phnet_tpu.losses.assign import assign_frame, dynamic_k_frame
+
+    spec = LaneSpec(n_offsets=24, n_lengths=1)
+    img_w, img_h = 192, 96
+    a, l = 30, 4
+    rng = np.random.default_rng(3)
+    # targets: distinct, well-separated lanes (xs in px)
+    targets = np.full((l, spec.dim), -1e5, np.float32)
+    targets[:, 0], targets[:, 1] = 0.0, 1.0
+    for i in range(l):
+        targets[i, 2:5] = (0.0, 0.15 + 0.2 * i, 0.5)
+        targets[i, spec.col_length] = 0.8
+        targets[i, spec.col_xs:] = np.linspace(
+            20 + 40 * i, 30 + 40 * i, spec.n_offsets)
+    valid = np.array([True, True, True, False])
+
+    preds = np.array(rng.normal(0, 0.02, (a, spec.dim)), np.float32)
+    preds[:, :2] = (-4.0, -4.0)
+    # priors 5/12/19 reproduce targets 0/1/2 (xs relative)
+    for pi, ti in [(5, 0), (12, 1), (19, 2)]:
+        preds[pi, :2] = (-4.0, 4.0)
+        preds[pi, 2:5] = targets[ti, 2:5]
+        preds[pi, spec.col_length] = targets[ti, spec.col_length]
+        preds[pi, spec.col_xs:] = targets[ti, spec.col_xs:] / (img_w - 1)
+
+    got = np.array(dynamic_k_frame(
+        jnp.asarray(preds), jnp.asarray(targets), jnp.asarray(valid),
+        spec, img_w, img_h))
+    hung = np.array(assign_frame(
+        jnp.asarray(preds), jnp.asarray(targets), jnp.asarray(valid),
+        spec, img_w, img_h))
+    assert got.shape == (l,) and got.dtype == np.int32
+    np.testing.assert_array_equal(got[:3], [5, 12, 19])
+    np.testing.assert_array_equal(got[:3], hung[:3])
+
+
+def test_train_step_with_dynamic_k_assigner():
+    """A train forward+backward with train_assigner="dynamic_k" runs and
+    produces finite loss/grads (the SimOTA fast-path wiring)."""
+    import dataclasses
+
+    import jax
+
+    from phnet_tpu.models import PHNet
+    from test_model import make_labels, tiny_cfg
+
+    cfg = dataclasses.replace(tiny_cfg(window=3), train_assigner="dynamic_k")
+    model = PHNet(cfg)
+    rng = np.random.default_rng(0)
+    frames = jnp.array(rng.normal(size=(1, 3, cfg.img_h, cfg.img_w, 3)),
+                       jnp.float32)
+    labels = make_labels(rng, 1, 3, cfg)
+    variables = jax.jit(lambda r, f, l: model.init(r, f, l, train=True))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        frames, labels)
+
+    def loss_fn(params):
+        outs, _ = model.apply(
+            {**variables, "params": params}, frames, labels, train=True,
+            rngs={"dropout": jax.random.key(2)},
+            mutable=["batch_stats"])[0]
+        return (outs.pred_sec.mean() + outs.pred_fir.mean())
+
+    g = jax.jit(jax.grad(loss_fn))(variables["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in flat)
+
+
 def test_visualization(tmp_path):
     from phnet_tpu.data import synthetic_clip
     from phnet_tpu.geometry import Lane

@@ -47,7 +47,7 @@ def main(argv=None):
                     help="A/B the fused Pallas router chain (fixed VMEM "
                          "footprint) against XLA's fusion, whose f32 "
                          "[B*A, C, P] intermediates spill past B=8")
-    ap.add_argument("--stem", choices=("conv7", "space_to_depth"),
+    ap.add_argument("--stem", choices=("conv7", "space_to_depth", "width_packed"),
                     default=None,
                     help="A/B the backbone stem: the 7x7/s2 conv on 3 "
                          "input channels runs ~4% MFU at B=8 (18% of the "

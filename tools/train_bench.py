@@ -36,6 +36,10 @@ def main():
                     choices=("off", "dots", "alldots", "full"),
                     help="off = remat_frames=False (store all frame "
                          "activations); else remat_policy override")
+    ap.add_argument("--assigner", type=str, default="hungarian",
+                    choices=("hungarian", "dynamic_k"))
+    ap.add_argument("--pool-vjp", type=str, default="scatter",
+                    choices=("onehot", "scatter"))
     args = ap.parse_args()
 
     import jax
@@ -53,7 +57,10 @@ def main():
 
     cfg = dataclasses.replace(
         vil100_config().model, compute_dtype="bfloat16",
-        scan_unroll=args.scan_unroll)
+        scan_unroll=args.scan_unroll, train_assigner=args.assigner)
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(
+            cfg.backbone, pool_vjp=args.pool_vjp))
     if args.remat == "off":
         cfg = dataclasses.replace(cfg, remat_frames=False)
     elif args.remat is not None:

@@ -43,6 +43,11 @@ def main():
                     help="host:port of process 0 for multi-host training")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--assigner", default=None,
+                    choices=("hungarian", "dynamic_k"),
+                    help="training label assigner (default: hungarian, the "
+                         "reference parity path; dynamic_k = SimOTA fast "
+                         "path, see ModelConfig.train_assigner)")
     args = ap.parse_args()
 
     import dataclasses
@@ -66,6 +71,10 @@ def main():
     if args.epochs:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs))
+    if args.assigner:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, train_assigner=args.assigner))
     if args.accum > 1:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, accum_steps=args.accum))
