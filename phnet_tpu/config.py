@@ -96,11 +96,12 @@ class BackboneConfig:
     # "width_packed" = the zero-copy half of the same trick (7x4/s(2,1)
     # conv on a free-reshape [B,H,W/2,6] input — the full SD transpose
     # cost ~0.93 ms/tick of thin-channel layout copies at serving B=8).
-    # "auto" (default) = space_to_depth on TPU, conv7 elsewhere: measured
-    # (2026-08-21) s2d is a wash at B=1 e2e and on the B=4 train step but
-    # cuts the B=8 serving tick 8.07 -> 7.59 ms (the 7x7/3ch stem fusion
-    # alone was 1.50 ms, ~4% MFU); CPU keeps conv7 so torch-parity tests
-    # compare the reference formulation bit-for-bit.
+    # "auto" (default) = width_packed on TPU, conv7 elsewhere: B=8
+    # serving A/B (2026-08-21) width_packed 1097.4 agg fps vs s2d 1061.7
+    # vs conv7 999.4 — s2d's fuller 12-lane packing loses its edge to
+    # ~0.93 ms/tick of thin-channel transpose copies, which width_packed
+    # avoids entirely; CPU keeps conv7 so torch-parity tests compare the
+    # reference formulation bit-for-bit.
     stem: str = "auto"
     # backward formulation for the stem max-pool: "scatter" = XLA's
     # default select-and-scatter (~4.7 ms of the B=4 train step,
@@ -185,6 +186,15 @@ class HeadConfig:
     # chain, guarded by the held-out generalization gates). Pin True to
     # recover the parity-exact training chain on a real-dataset run.
     router_train_chain_f32: bool = False
+    # router chain layout: "plane" = [T, C, P] (P=36 pads to 128 lanes,
+    # 28% utilization); "flat" = [T, C*P] (2304 = 18 exact lane tiles;
+    # the 3x3 becomes nine masked flat shifts). MEASURED NEGATIVE on v5e
+    # (2026-08-21): train B=4 190.8 vs 216.1 clip-fps, serving B=8 641
+    # vs 1097 agg fps — the +-1/+-35/+-37 flat shifts cross lane-tile
+    # boundaries (the same failure mode as the Pallas lane-roll kernel,
+    # ops/router_pallas.py), costing far more than the planar padding
+    # waste they remove. Kept behind the flag, equality-tested.
+    router_chain_impl: str = "plane"
     # DynamicConv (dynamic_head.py:6-59)
     dyn_dim_factor: int = 2  # dim_dynamic = inplanes * factor
     dyn_param_reduction: int = 8  # hidden of the weight-generator MLPs

@@ -195,6 +195,7 @@ class LaneHead(nn.Module):
                 use_pallas_kernel=h.router_pallas,
                 chain_bf16=bool(h.router_chain_bf16),  # None (auto) = off
                 train_chain_f32=h.router_train_chain_f32,
+                chain_impl=h.router_chain_impl,
                 # here; StreamingServer resolves auto by batch (config.py)
                 name=f"router_{s}",
             )

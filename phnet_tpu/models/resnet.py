@@ -180,10 +180,12 @@ class ResNetBackbone(nn.Module):
     stage_channels: Tuple[int, ...] = (64, 128, 256, 512)
     norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
-    stem: str = "auto"  # "auto" | "conv7" | "space_to_depth" — the two
-    # concrete stems are the same function over the same params; "auto"
-    # picks space_to_depth on TPU (measured serving win, wash elsewhere)
-    # and conv7 on other backends (bit-exact torch-reference form)
+    stem: str = "auto"  # "auto" | "conv7" | "space_to_depth" |
+    # "width_packed" — all the same function over the same params; "auto"
+    # picks width_packed on TPU (B=8 serving A/B 2026-08-21: 1097.4 agg
+    # fps vs s2d 1061.7 vs conv7 999.4 — zero layout copies beats the
+    # fuller 12-lane packing) and conv7 on other backends (bit-exact
+    # torch-reference form)
     pool_vjp: str = "scatter"  # "scatter" (XLA select-and-scatter
     # default; measured faster, see BackboneConfig.pool_vjp) | "onehot"
     # (ops/pool.py custom VJP) — forward is identical
@@ -194,7 +196,7 @@ class ResNetBackbone(nn.Module):
         block_cls = BasicBlock if self.depth < 50 else Bottleneck
         stem = self.stem
         if stem == "auto":
-            stem = ("space_to_depth" if jax.default_backend() == "tpu"
+            stem = ("width_packed" if jax.default_backend() == "tpu"
                     else "conv7")
         if stem in ("space_to_depth", "width_packed"):
             # same "Conv_0/kernel" param tree as the nn.Conv branch (the

@@ -30,7 +30,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.router_pallas import _conv3x3, _ln, fused_router_blocks
+from ..ops.router_pallas import (
+    _conv3x3, _conv3x3_flat, _ln, _ln_flat, fused_router_blocks,
+)
 
 
 class LayerNormCP(nn.Module):
@@ -90,6 +92,12 @@ class AdaptiveRouter(nn.Module):
     # force the f32 chain in training regardless of self.dtype (the
     # HeadConfig.router_train_chain_f32 A/B switch).
     train_chain_f32: bool = False
+    # chain layout: "plane" keeps [T, C, P] (P=36 pads to 128 lanes —
+    # 28% lane utilization on every chain op); "flat" runs the whole
+    # chain in [T, C*P] (2304 = 18 exact lane tiles, no padding waste)
+    # with the depthwise 3x3 as nine masked flat shifts — bit-identical
+    # adds in the same order (ops/router_pallas._conv3x3_flat).
+    chain_impl: str = "plane"
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -141,21 +149,38 @@ class AdaptiveRouter(nn.Module):
                 cdtype = jnp.float32 if self.train_chain_f32 else self.dtype
             else:
                 cdtype = jnp.bfloat16 if self.chain_bf16 else jnp.float32
-            x = feats.astype(jnp.float32).reshape(b * a, c, p)
             taps_b = jnp.tile(taps, (b, 1)).astype(cdtype)
             bias_b = jnp.tile(conv_bias, (b, 1)).astype(cdtype)
-            x = _ln(x, ln_params[0], ln_params[1]).astype(cdtype)
-            for blk in range(self.blocks):
-                t1 = taps_b[:, (2 * blk) * 9 : (2 * blk + 1) * 9]
-                t2 = taps_b[:, (2 * blk + 1) * 9 : (2 * blk + 2) * 9]
-                o = 2 + 4 * blk
-                y = _conv3x3(x, t1, bias_b[:, 2 * blk]).astype(cdtype)
-                y = _ln(y, ln_params[o], ln_params[o + 1]).astype(cdtype)
-                y = jnp.maximum(y, 0.0)
-                y = _conv3x3(y, t2, bias_b[:, 2 * blk + 1]).astype(cdtype)
-                y = _ln(y, ln_params[o + 2], ln_params[o + 3]).astype(cdtype)
-                x = jnp.maximum(y + x, 0.0).astype(cdtype)
-            x = x.reshape(feats.shape)
+            if self.chain_impl == "flat":
+                lnp = ln_params.reshape(2 + 4 * self.blocks, c * p)
+                x = feats.astype(jnp.float32).reshape(b * a, c * p)
+                x = _ln_flat(x, lnp[0], lnp[1]).astype(cdtype)
+                for blk in range(self.blocks):
+                    t1 = taps_b[:, (2 * blk) * 9: (2 * blk + 1) * 9]
+                    t2 = taps_b[:, (2 * blk + 1) * 9: (2 * blk + 2) * 9]
+                    o = 2 + 4 * blk
+                    y = _conv3x3_flat(
+                        x, t1, bias_b[:, 2 * blk], c, p).astype(cdtype)
+                    y = _ln_flat(y, lnp[o], lnp[o + 1]).astype(cdtype)
+                    y = jnp.maximum(y, 0.0)
+                    y = _conv3x3_flat(
+                        y, t2, bias_b[:, 2 * blk + 1], c, p).astype(cdtype)
+                    y = _ln_flat(y, lnp[o + 2], lnp[o + 3]).astype(cdtype)
+                    x = jnp.maximum(y + x, 0.0).astype(cdtype)
+            else:
+                x = feats.astype(jnp.float32).reshape(b * a, c, p)
+                x = _ln(x, ln_params[0], ln_params[1]).astype(cdtype)
+                for blk in range(self.blocks):
+                    t1 = taps_b[:, (2 * blk) * 9: (2 * blk + 1) * 9]
+                    t2 = taps_b[:, (2 * blk + 1) * 9: (2 * blk + 2) * 9]
+                    o = 2 + 4 * blk
+                    y = _conv3x3(x, t1, bias_b[:, 2 * blk]).astype(cdtype)
+                    y = _ln(y, ln_params[o], ln_params[o + 1]).astype(cdtype)
+                    y = jnp.maximum(y, 0.0)
+                    y = _conv3x3(y, t2, bias_b[:, 2 * blk + 1]).astype(cdtype)
+                    y = _ln(y, ln_params[o + 2],
+                            ln_params[o + 3]).astype(cdtype)
+                    x = jnp.maximum(y + x, 0.0).astype(cdtype)
 
         x = x.reshape(*feats.shape[:-2], c * p).astype(self.dtype)
         hidden = c * p // self.reduction

@@ -63,6 +63,67 @@ def _conv3x3(x, taps, bias):
     return y + bias[:, None, None]
 
 
+def _ln_flat(x, scale, bias, eps=1e-5):
+    """LayerNorm over the flattened (C*P) plane per anchor; x: [T, C*P],
+    scale/bias: [C*P]. Same math as :func:`_ln` on the unflattened plane
+    (the reduction runs over the identical element set)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.var(xf, axis=1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale[None] + bias[None]
+
+
+def _flat_shift(x, o: int):
+    """y[:, m] = x[:, m + o], zero out of range (pad+slice, no gather)."""
+    if o == 0:
+        return x
+    n = x.shape[1]
+    if o > 0:
+        return jnp.pad(x[:, o:], ((0, 0), (0, o)))
+    return jnp.pad(x[:, : n + o], ((0, 0), (-o, 0)))
+
+
+def _conv3x3_flat(x, taps, bias, c: int, p: int):
+    """:func:`_conv3x3` on the FLAT [T, C*P] layout: the depthwise 3x3
+    over the (C, P) plane becomes nine statically-shifted adds on the
+    flat axis (offset ``dc*P + dp``) with P-boundary masks for the
+    ``dp != 0`` taps (a flat +-1 shift would otherwise wrap across C
+    rows; the C-boundary falls out of the zero-padded shifts).
+
+    Why flat: [C, P] = [64, 36] pads P to 128 lanes — every planar chain
+    op runs at 28% lane utilization; C*P = 2304 is exactly 18 lane tiles,
+    so the flat chain wastes nothing. Same adds in the same tap order
+    (the flat LN's reduction tree differs, so chain equality is float-
+    tolerance ~1e-6, not bit-exact).
+
+    STATUS — MEASURED NEGATIVE, kept for A/B only
+    (``HeadConfig.router_chain_impl``): v5e 2026-08-21, train B=4 190.8
+    vs 216.1 clip-fps, serving B=8 641 vs 1097 agg fps. The flat +-1 /
+    +-35 / +-37 shifts cross lane-tile boundaries every tile — the exact
+    failure mode that sank the Pallas lane-roll kernel (see module
+    docstring) — and that costs far more than the planar layout's 3.5x
+    padding waste. Lane padding is cheap; cross-tile lane movement is
+    not.
+    """
+    t, cp = x.shape
+    pcol = jnp.arange(cp) % p
+    not_first = (pcol > 0).astype(x.dtype)[None]
+    not_last = (pcol < p - 1).astype(x.dtype)[None]
+    y = jnp.zeros_like(x)
+    k = 0
+    for dc in (-1, 0, 1):
+        for dp in (-1, 0, 1):
+            sh = _flat_shift(x, dc * p + dp)
+            if dp == -1:
+                sh = sh * not_first
+            elif dp == 1:
+                sh = sh * not_last
+            y = y + taps[:, k][:, None] * sh
+            k += 1
+    return y + bias[:, None]
+
+
 def banded_taps(taps, p: int):
     """Pack 3x3 taps into per-anchor banded matmul weights.
 

@@ -101,6 +101,41 @@ def test_router_train_chain_f32_switch():
         out_bf16 - np.array(forced.apply(v, feats, train=True))).max() > 0
 
 
+def test_router_flat_chain_equals_plane():
+    """chain_impl="flat" runs the identical math on the [T, C*P] layout
+    (nine masked flat shifts == the planar 3x3, same taps in the same
+    order; LN over the same element set — only the reduction tree
+    differs, so equality is float-tolerance, measured 7e-7): outputs and
+    gradients match in both train and eval."""
+    kw = dict(num_anchors=32, channels=16, points=12)
+    plane = AdaptiveRouter(**kw)
+    flat = AdaptiveRouter(chain_impl="flat", **kw)
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(rng.normal(size=(2, 32, 16, 12)).astype(np.float32))
+    v = plane.init(jax.random.key(0), feats)
+    for train in (False, True):
+        np.testing.assert_allclose(
+            np.array(plane.apply(v, feats, train=train)),
+            np.array(flat.apply(v, feats, train=train)),
+            rtol=1e-5, atol=1e-5)
+
+    def loss(params, mod):
+        return (mod.apply({"params": params}, feats, train=True)
+                * jnp.arange(64, dtype=jnp.float32).reshape(2, 32, 1)).sum()
+
+    gp = jax.grad(loss)(v["params"], plane)
+    gf = jax.grad(loss)(v["params"], flat)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gf)):
+        a, b = np.array(a), np.array(b)
+        # absolute bound: backward amplifies the ~1e-6 forward
+        # reduction-tree diffs, and the conv_bias grads are mathematically
+        # ZERO (every conv output feeds a shift-invariant LayerNorm), so
+        # their computed values are pure cancellation noise in BOTH
+        # implementations (measured ~1e-4 in each)
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=0)
+
+
 def test_router_gradients_flow():
     router = AdaptiveRouter(num_anchors=32, channels=16, points=12)
     rng = np.random.default_rng(2)

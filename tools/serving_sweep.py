@@ -56,6 +56,10 @@ def main(argv=None):
     ap.add_argument("--router-bf16", action="store_true",
                     help="A/B bf16 router-chain intermediates (halves the "
                          "spilling buffers; inference-only)")
+    ap.add_argument("--router-chain", choices=("plane", "flat"),
+                    default="plane",
+                    help="A/B the router chain layout (flat = [T, C*P], "
+                         "full lane utilization)")
     ap.add_argument("--trace", default=None,
                     help="write a jax.profiler xplane trace of the timed "
                          "ticks under DIR/b<N> and print the per-op device "
@@ -76,7 +80,8 @@ def main(argv=None):
     base = openlane_config() if args.ol else vil100_config()
     head = dataclasses.replace(base.model.head,
                                router_pallas=args.router_pallas,
-                               router_chain_bf16=args.router_bf16)
+                               router_chain_bf16=args.router_bf16,
+                               router_chain_impl=args.router_chain)
     cfg = dataclasses.replace(base.model, compute_dtype="bfloat16",
                               quantize=args.quantize, head=head)
     if args.stem:
@@ -134,6 +139,7 @@ def main(argv=None):
             "quantize": args.quantize,
             "router_pallas": args.router_pallas,
             "router_bf16": args.router_bf16,
+            "router_chain": args.router_chain,
         }), flush=True)
         if args.trace:
             from phnet_tpu.utils.xplane import op_report

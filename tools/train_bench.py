@@ -38,6 +38,8 @@ def main():
                          "activations); else remat_policy override")
     ap.add_argument("--assigner", type=str, default="hungarian",
                     choices=("hungarian", "dynamic_k"))
+    ap.add_argument("--router-chain", type=str, default="plane",
+                    choices=("plane", "flat"))
     ap.add_argument("--pool-vjp", type=str, default="scatter",
                     choices=("onehot", "scatter"))
     args = ap.parse_args()
@@ -60,7 +62,9 @@ def main():
         scan_unroll=args.scan_unroll, train_assigner=args.assigner)
     cfg = dataclasses.replace(
         cfg, backbone=dataclasses.replace(
-            cfg.backbone, pool_vjp=args.pool_vjp))
+            cfg.backbone, pool_vjp=args.pool_vjp),
+        head=dataclasses.replace(
+            cfg.head, router_chain_impl=args.router_chain))
     if args.remat == "off":
         cfg = dataclasses.replace(cfg, remat_frames=False)
     elif args.remat is not None:
