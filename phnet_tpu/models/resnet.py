@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.batchnorm import FusedBatchNorm
 from ..ops.pool import max_pool_3x3_s2
 
 STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
@@ -110,6 +111,16 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.kind == "batch":
+            # fused-backward BatchNorm (ops/batchnorm.py): same params,
+            # same batch_stats, same math as nn.BatchNorm — the training
+            # backward runs ONE variadic reduce pass instead of flax's
+            # autodiff ~3 (the round-5 trace's ~15 ms/step of big
+            # convert_reduce passes). Child name pins the flax layout.
+            return FusedBatchNorm(
+                momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                name="BatchNorm_0",
+            )(x, use_running_average=not train)
+        if self.kind == "batch_flax":
             return nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,

@@ -333,3 +333,81 @@ def test_stage0_hoist_equality():
     gmax = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
         jax.tree_util.tree_leaves(g_on), jax.tree_util.tree_leaves(g_off)))
     assert gmax < 1e-4, gmax
+
+
+def test_fused_bn_matches_flax():
+    """ops/batchnorm.FusedBatchNorm == nn.BatchNorm: same param/stat
+    tree, same train/eval outputs and running-stat updates, gradients
+    equal to flax autodiff up to float reassociation."""
+    import flax.linen as nn
+
+    from phnet_tpu.ops.batchnorm import FusedBatchNorm
+
+    class Flax(nn.Module):
+        @nn.compact
+        def __call__(self, x, train):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5,
+                                dtype=jnp.bfloat16)(x)
+
+    class Fused(nn.Module):
+        @nn.compact
+        def __call__(self, x, train):
+            return FusedBatchNorm(momentum=0.9, epsilon=1e-5,
+                                  dtype=jnp.bfloat16,
+                                  name="BatchNorm_0")(
+                x, use_running_average=not train)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(2.0, 3.0, (4, 6, 5, 8)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ref, fus = Flax(), Fused()
+    v_ref = ref.init(jax.random.key(0), x, True)
+    v_fus = fus.init(jax.random.key(0), x, True)
+    assert (jax.tree_util.tree_structure(v_ref)
+            == jax.tree_util.tree_structure(v_fus))
+    # non-trivial affine so grads exercise scale/bias
+    v = jax.tree.map(lambda p: p, v_ref)
+    v["params"]["BatchNorm_0"]["scale"] = jnp.asarray(
+        rng.uniform(0.5, 2.0, (8,)).astype(np.float32))
+    v["params"]["BatchNorm_0"]["bias"] = jnp.asarray(
+        rng.normal(0, 1, (8,)).astype(np.float32))
+    v["batch_stats"]["BatchNorm_0"]["mean"] = jnp.asarray(
+        rng.normal(0, 1, (8,)).astype(np.float32))
+    v["batch_stats"]["BatchNorm_0"]["var"] = jnp.asarray(
+        rng.uniform(0.5, 2.0, (8,)).astype(np.float32))
+
+    # eval: bit-comparable (same op order transcription)
+    y_ref = ref.apply(v, x, False)
+    y_fus = fus.apply(v, x, False)
+    np.testing.assert_array_equal(np.array(y_ref, np.float32),
+                                  np.array(y_fus, np.float32))
+
+    # train: outputs + updated running stats
+    y_ref, m_ref = ref.apply(v, x, True, mutable=["batch_stats"])
+    y_fus, m_fus = fus.apply(v, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.array(y_ref, np.float32),
+                               np.array(y_fus, np.float32),
+                               rtol=1e-2, atol=1e-2)  # bf16 outputs
+    for a, b in zip(jax.tree.leaves(m_ref), jax.tree.leaves(m_fus)):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # grads vs flax autodiff (f32 path so reassociation is the only diff)
+    xf = jnp.asarray(rng.normal(1.0, 2.0, (4, 6, 5, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(4, 6, 5, 8)).astype(np.float32))
+
+    def loss(params, module, xin):
+        y = module.apply({**v, "params": params}, xin, True,
+                         mutable=["batch_stats"])[0]
+        return (y.astype(jnp.float32) * w).sum()
+
+    g_ref = jax.grad(loss)(v["params"], ref, xf)
+    g_fus = jax.grad(loss)(v["params"], fus, xf)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=2e-4, atol=2e-4)
+    gx_ref = jax.grad(lambda xin: loss(v["params"], ref, xin))(xf)
+    gx_fus = jax.grad(lambda xin: loss(v["params"], fus, xin))(xf)
+    np.testing.assert_allclose(np.array(gx_ref), np.array(gx_fus),
+                               rtol=2e-4, atol=2e-4)

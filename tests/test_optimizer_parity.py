@@ -155,3 +155,58 @@ def test_decay_masking_is_1d_exemption():
     np.testing.assert_allclose(new["norm"]["scale"], tree["norm"]["scale"])
     assert np.all(np.abs(new["dense"]["kernel"])
                   < np.abs(tree["dense"]["kernel"]))
+
+
+def test_fused_adamw_equals_optax_adamw():
+    """fused_adamw (one flat vector, TrainConfig.fused_optimizer=True)
+    reproduces optax.adamw(mask=decay_mask) step for step on a mixed
+    pytree (2-D decayed, 1-D exempt), including the cosine schedule and
+    per-layer LR scales."""
+    import dataclasses
+
+    import jax
+    import optax
+
+    from phnet_tpu.config import TrainConfig
+    from phnet_tpu.train.optimizer import (
+        build_optimizer, cosine_schedule, decay_mask, fused_adamw,
+        scale_updates_by_tree,
+    )
+
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.normal(size=(5, 7)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(7,)).astype(np.float32)),
+        "inner": {"k": jnp.asarray(rng.normal(size=(3, 3, 2)).astype(np.float32))},
+    }
+    scales = {"w": 0.5, "b": 1.0, "inner": {"k": 0.9}}
+    sched = cosine_schedule(1e-3, 50)
+
+    ref = optax.chain(
+        optax.adamw(learning_rate=sched, b1=0.9, b2=0.999,
+                    weight_decay=1e-2, mask=decay_mask),
+        scale_updates_by_tree(scales),
+    )
+    fused = fused_adamw(sched, b1=0.9, b2=0.999, weight_decay=1e-2,
+                        lr_scales=scales)
+
+    s_ref, s_fus = ref.init(params), fused.init(params)
+    p_ref = p_fus = params
+    for i in range(5):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.normal(size=p.shape).astype(np.float32)), params)
+        u_ref, s_ref = ref.update(g, s_ref, p_ref)
+        u_fus, s_fus = fused.update(g, s_fus, p_fus)
+        for a, b in zip(jax.tree.leaves(u_ref), jax.tree.leaves(u_fus)):
+            np.testing.assert_allclose(np.array(a), np.array(b),
+                                       rtol=1e-6, atol=1e-9)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_fus = optax.apply_updates(p_fus, u_fus)
+
+    # the TrainConfig switch selects each path
+    assert TrainConfig().fused_optimizer is True
+    cfg_off = dataclasses.replace(TrainConfig(), fused_optimizer=False)
+    tx_off = build_optimizer(cfg_off, 100)
+    assert "mu" not in (tx_off.init(params) if isinstance(
+        tx_off.init(params), dict) else {})

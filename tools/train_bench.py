@@ -40,6 +40,11 @@ def main():
                     choices=("hungarian", "dynamic_k"))
     ap.add_argument("--router-chain", type=str, default="plane",
                     choices=("plane", "flat"))
+    ap.add_argument("--stem", type=str, default=None,
+                    choices=("conv7", "space_to_depth", "width_packed"))
+    ap.add_argument("--no-fused-opt", action="store_true")
+    ap.add_argument("--norm", type=str, default=None,
+                    choices=("batch", "batch_flax", "group"))
     ap.add_argument("--pool-vjp", type=str, default="scatter",
                     choices=("onehot", "scatter"))
     args = ap.parse_args()
@@ -62,7 +67,9 @@ def main():
         scan_unroll=args.scan_unroll, train_assigner=args.assigner)
     cfg = dataclasses.replace(
         cfg, backbone=dataclasses.replace(
-            cfg.backbone, pool_vjp=args.pool_vjp),
+            cfg.backbone, pool_vjp=args.pool_vjp,
+            **({"stem": args.stem} if args.stem else {}),
+            **({"norm": args.norm} if args.norm else {})),
         head=dataclasses.replace(
             cfg.head, router_chain_impl=args.router_chain))
     if args.remat == "off":
@@ -88,6 +95,8 @@ def main():
     t_labels = jnp.asarray(lab)
 
     tcfg = TrainConfig()
+    if args.no_fused_opt:
+        tcfg = dataclasses.replace(tcfg, fused_optimizer=False)
     criterion = LaneCriterion(cfg, tcfg.loss)
     tx = build_optimizer(tcfg, 1000)
     state = create_train_state(
