@@ -300,6 +300,21 @@ class ModelConfig:
     #                 reduced to one-prior-per-target; replaces the JV
     #                 augmenting-path while-loop with top-k + fori_loop
     train_assigner: str = "hungarian"
+    # serving-internal frame ingestion layout (StreamingServer sets this
+    # on ITS model copy; parameter shapes are unchanged, so weights are
+    # interchangeable with the unpacked model):
+    #   "none"  — frames arrive [B, T, H, W, C]
+    #   "width" — [B, T, H, W/2, 2C] for the width_packed stem (host
+    #             packs with a zero-cost numpy reshape; the in-graph
+    #             reshape is a tiled-layout copy, 0.42 ms of the B=8
+    #             tick — measured a wash once removed, the relayout
+    #             moves into the conv)
+    #   "s2d"   — [B, T, H/2, W/2, 4C] full space-to-depth, emitted by
+    #             the data loader/decode (a real host-side transpose,
+    #             but the C++ clip loader writes pixels anyway); the
+    #             device then runs the clean 4x4/s1 conv with 12
+    #             contraction channels and NO transpose at all
+    packed_frames: str = "none"
     # unroll factor of the temporal scan (trades compile time for loop
     # overhead; 1 = plain lax.scan)
     scan_unroll: int = 1

@@ -39,6 +39,7 @@ class Encoder(nn.Module):
                 dtype=dtype,
                 stem=bcfg.stem,
                 pool_vjp=bcfg.pool_vjp,
+                packed_input=self.cfg.packed_frames,
                 name="backbone",
             )(frames.astype(dtype), train=train)
         feats = [feats[i] for i in self.cfg.backbone.out_indices]

@@ -24,7 +24,8 @@ STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
 
 
 def space_to_depth_stem(x: jnp.ndarray, kernel: jnp.ndarray,
-                        dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+                        dtype: jnp.dtype = jnp.float32,
+                        pre_packed: bool = False) -> jnp.ndarray:
     """The 7x7/stride-2/pad-3 stem conv, computed exactly as a 4x4/stride-1
     conv on a 2x2 space-to-depth input (the MLPerf ResNet TPU trick).
 
@@ -48,8 +49,12 @@ def space_to_depth_stem(x: jnp.ndarray, kernel: jnp.ndarray,
     x: [B, H, W, C] with H, W even; kernel: [7, 7, C, O]. Returns
     [B, H/2, W/2, O].
     """
-    b, h, w, c = x.shape
-    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    if pre_packed:
+        b = x.shape[0]
+        c = x.shape[-1] // 4
+    else:
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
     o = kernel.shape[-1]
     k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # tap -1 row/col
     k = k.reshape(4, 2, 4, 2, c, o)  # [kh, p, kw, q, c, o]
@@ -60,8 +65,12 @@ def space_to_depth_stem(x: jnp.ndarray, kernel: jnp.ndarray,
     # WORSE (9.35 vs 7.55 ms/tick: four [B,H/2,W/2,3] strided gathers on
     # the minor dims defeat the tiler far harder than one transpose), so
     # the transpose form stays.
-    x_sd = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x_sd = x_sd.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    if pre_packed:
+        x_sd = x  # already [B, H/2, W/2, 4C] (loader-emitted s2d)
+    else:
+        x_sd = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x_sd = x_sd.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h // 2, w // 2, 4 * c)
     return jax.lax.conv_general_dilated(
         x_sd.astype(dtype), k_sd.astype(dtype),
         window_strides=(1, 1), padding=((2, 1), (2, 1)),
@@ -69,7 +78,8 @@ def space_to_depth_stem(x: jnp.ndarray, kernel: jnp.ndarray,
 
 
 def width_packed_stem(x: jnp.ndarray, kernel: jnp.ndarray,
-                      dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+                      dtype: jnp.dtype = jnp.float32,
+                      pre_packed: bool = False) -> jnp.ndarray:
     """The 7x7/stride-2/pad-3 stem conv as a 7x4/stride-(2,1) conv on a
     width-packed input — the ZERO-copy variant of the space-to-depth trick.
 
@@ -91,13 +101,23 @@ def width_packed_stem(x: jnp.ndarray, kernel: jnp.ndarray,
     reassociation (``tests/test_model.py::test_width_packed_stem_exact``).
 
     x: [B, H, W, C] with W even; kernel: [7, 7, C, O] -> [B, H/2, W/2, O].
+    With ``pre_packed`` the input already arrives width-packed
+    [B, H, W/2, 2C] (e.g. the serving host packs frames with a
+    zero-cost numpy reshape) — even the "free" in-graph reshape is a
+    TILED-layout change on TPU (3->6 lanes) that costs a real copy
+    (0.42 ms of the B=8 serving tick, xplane 2026-08-21).
     """
-    b, h, w, c = x.shape
-    assert w % 2 == 0, (h, w)
+    if pre_packed:
+        b, h, w2, c2 = x.shape
+        c = c2 // 2
+        x_p = x
+    else:
+        b, h, w, c = x.shape
+        assert w % 2 == 0, (h, w)
+        x_p = x.reshape(b, h, w // 2, 2 * c)
     o = kernel.shape[-1]
     k = jnp.pad(kernel, ((0, 0), (1, 0), (0, 0), (0, 0)))  # dj=-1 tap col
     k = k.reshape(7, 4, 2 * c, o)  # [kh, kw, (q, c), o]
-    x_p = x.reshape(b, h, w // 2, 2 * c)
     return jax.lax.conv_general_dilated(
         x_p.astype(dtype), k.astype(dtype),
         window_strides=(2, 1), padding=((3, 3), (2, 1)),
@@ -200,6 +220,10 @@ class ResNetBackbone(nn.Module):
     pool_vjp: str = "scatter"  # "scatter" (XLA select-and-scatter
     # default; measured faster, see BackboneConfig.pool_vjp) | "onehot"
     # (ops/pool.py custom VJP) — forward is identical
+    packed_input: str = "none"  # "none" | "width" ([B, H, W/2, 2C],
+    # width_packed stem) | "s2d" ([B, H/2, W/2, 4C], space_to_depth
+    # stem) — pre-packed serving ingestion; param shapes unchanged
+    # (see ModelConfig.packed_frames)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
@@ -209,18 +233,30 @@ class ResNetBackbone(nn.Module):
         if stem == "auto":
             stem = ("width_packed" if jax.default_backend() == "tpu"
                     else "conv7")
+        packed = self.packed_input
+        if packed == "width":
+            assert stem == "width_packed", (
+                "packed_input='width' requires the width_packed stem")
+        elif packed == "s2d":
+            assert stem == "space_to_depth", (
+                "packed_input='s2d' requires the space_to_depth stem")
         if stem in ("space_to_depth", "width_packed"):
             # same "Conv_0/kernel" param tree as the nn.Conv branch (the
             # dict-valued-param trick from dynamic_conv._dense_param), so
             # the three stems are checkpoint-interchangeable
+            div = {"none": 1, "width": 2, "s2d": 4}[packed]
+            in_c = x.shape[-1] // div
             p = self.param(
                 "Conv_0",
                 lambda key: {"kernel": nn.initializers.lecun_normal()(
-                    key, (7, 7, x.shape[-1], 64))},
+                    key, (7, 7, in_c, 64))},
             )
-            stem_fn = (space_to_depth_stem if stem == "space_to_depth"
-                       else width_packed_stem)
-            x = stem_fn(x, p["kernel"], self.dtype)
+            if stem == "space_to_depth":
+                x = space_to_depth_stem(x, p["kernel"], self.dtype,
+                                        pre_packed=packed == "s2d")
+            else:
+                x = width_packed_stem(x, p["kernel"], self.dtype,
+                                      pre_packed=packed == "width")
         else:
             x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                         dtype=self.dtype)(x)

@@ -279,3 +279,71 @@ def test_update_variables_rebuilds_combined_weights(server_setup):
         assert len(out_a) == len(out_b)
         for la, lb in zip(out_a, out_b):
             np.testing.assert_allclose(la.points, lb.points, atol=1e-5)
+
+
+def test_streaming_server_packed_frames_parity(server_setup):
+    """Width-packed frame ingestion (server packs [H,W,3] -> [H,W/2,6]
+    host-side, zero-copy) must produce the same lanes as the unpacked
+    whole-clip pipeline with the same weights."""
+    import dataclasses
+
+    cfg, _ = server_setup
+    mcfg = dataclasses.replace(
+        cfg.model, backbone=dataclasses.replace(
+            cfg.model.backbone, stem="width_packed"))
+    cfg2 = dataclasses.replace(cfg, model=mcfg)
+    model = PHNet(mcfg)
+    frames0 = jnp.zeros((2, 1, mcfg.img_h, mcfg.img_w, 3))
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(3), "dropout": jax.random.key(4)}, frames0)
+
+    clip = synthetic_clip(seed=23, t=3, img_h=mcfg.img_h, img_w=mcfg.img_w,
+                          spec=mcfg.lane, max_lanes=mcfg.max_lanes)
+    server = StreamingServer(cfg2, variables, max_streams=2, memory_window=4)
+    assert server._packed  # stem pinned to width_packed engages packing
+    sid = server.attach()
+    served = [server.step({sid: clip["frames"][t]})[sid] for t in range(3)]
+
+    from phnet_tpu.pipeline import InferencePipeline
+    pipe = InferencePipeline(cfg2, variables, chunk=3, memory_window=4)
+    pipe._ori_h = 0
+    pipe._cut = 0
+    whole, _ = pipe.run_video(np.asarray(clip["frames"]))
+    for lanes_s, lanes_w in zip(served, whole):
+        assert len(lanes_s) == len(lanes_w)
+        for a, b in zip(lanes_s, lanes_w):
+            np.testing.assert_allclose(a.points, b.points, atol=1e-4)
+
+
+def test_streaming_server_s2d_packed_parity(server_setup):
+    """s2d-packed ingestion (host emits [H/2, W/2, 12] space-to-depth
+    frames — the measured-fastest serving ingest) == the unpacked
+    pipeline with the same weights."""
+    import dataclasses
+
+    cfg, _ = server_setup
+    mcfg = dataclasses.replace(
+        cfg.model, backbone=dataclasses.replace(
+            cfg.model.backbone, stem="space_to_depth"))
+    cfg2 = dataclasses.replace(cfg, model=mcfg)
+    model = PHNet(mcfg)
+    frames0 = jnp.zeros((2, 1, mcfg.img_h, mcfg.img_w, 3))
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(5), "dropout": jax.random.key(6)}, frames0)
+
+    clip = synthetic_clip(seed=29, t=3, img_h=mcfg.img_h, img_w=mcfg.img_w,
+                          spec=mcfg.lane, max_lanes=mcfg.max_lanes)
+    server = StreamingServer(cfg2, variables, max_streams=2, memory_window=4)
+    assert server._packed == "s2d"
+    sid = server.attach()
+    served = [server.step({sid: clip["frames"][t]})[sid] for t in range(3)]
+
+    from phnet_tpu.pipeline import InferencePipeline
+    pipe = InferencePipeline(cfg2, variables, chunk=3, memory_window=4)
+    pipe._ori_h = 0
+    pipe._cut = 0
+    whole, _ = pipe.run_video(np.asarray(clip["frames"]))
+    for lanes_s, lanes_w in zip(served, whole):
+        assert len(lanes_s) == len(lanes_w)
+        for a, b in zip(lanes_s, lanes_w):
+            np.testing.assert_allclose(a.points, b.points, atol=1e-4)

@@ -60,6 +60,11 @@ def main(argv=None):
                     default="plane",
                     help="A/B the router chain layout (flat = [T, C*P], "
                          "full lane utilization)")
+    ap.add_argument("--packed", choices=("width", "s2d"), default=None,
+                    help="pre-packed frame ingestion: 'width' = "
+                         "[B,1,H,W/2,6] (free host reshape), 's2d' = "
+                         "[B,1,H/2,W/2,12] (loader-emitted space-to-"
+                         "depth); frames arrive in compute dtype")
     ap.add_argument("--trace", default=None,
                     help="write a jax.profiler xplane trace of the timed "
                          "ticks under DIR/b<N> and print the per-op device "
@@ -87,11 +92,22 @@ def main(argv=None):
     if args.stem:
         cfg = dataclasses.replace(
             cfg, backbone=dataclasses.replace(cfg.backbone, stem=args.stem))
+    if args.packed:
+        stem = ("width_packed" if args.packed == "width"
+                else "space_to_depth")
+        cfg = dataclasses.replace(
+            cfg, packed_frames=args.packed,
+            backbone=dataclasses.replace(cfg.backbone, stem=stem))
     model = PHNet(cfg)
 
     rng = np.random.default_rng(0)
-    frames1 = jnp.asarray(rng.normal(
-        size=(1, 1, cfg.img_h, cfg.img_w, 3)).astype(np.float32))
+    if args.packed == "width":
+        fshape1 = (1, 1, cfg.img_h, cfg.img_w // 2, 6)
+    elif args.packed == "s2d":
+        fshape1 = (1, 1, cfg.img_h // 2, cfg.img_w // 2, 12)
+    else:
+        fshape1 = (1, 1, cfg.img_h, cfg.img_w, 3)
+    frames1 = jnp.asarray(rng.normal(size=fshape1).astype(np.float32))
     variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames1)
 
@@ -110,8 +126,14 @@ def main(argv=None):
     rtt_s = (time.perf_counter() - t0) / 5
 
     for b in args.batches:
-        frames = jnp.asarray(rng.normal(
-            size=(b, 1, cfg.img_h, cfg.img_w, 3)).astype(np.float32))
+        if args.packed:
+            fdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                   else jnp.float32)
+            frames = jnp.asarray(rng.normal(
+                size=(b,) + fshape1[1:]).astype(np.float32)).astype(fdt)
+        else:
+            frames = jnp.asarray(rng.normal(
+                size=(b, 1, cfg.img_h, cfg.img_w, 3)).astype(np.float32))
         step = jax.jit(tick, donate_argnums=(2,))
         mem = init_memory(cfg, b, args.window)
         kept, nk, mem = step(variables, frames, mem)
