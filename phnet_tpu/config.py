@@ -223,6 +223,13 @@ class HeadConfig:
     # equality is tested (tests/test_model.py hoist tests) and larger
     # models (where weights outgrow intermediates) may want it.
     stage0_hoist: bool = False
+    # compute BOTH branch head-MLP stacks as one [2, n, ...] batched
+    # einsum chain per stage (zero-padded to the wider sec trunk —
+    # exact, padded channels are structural zeros): halves the
+    # per-stage head-GEMM dispatch count in the latency-bound serving
+    # tick. Measured B=8 (s2d-packed, 2026-08-21): 1168.0 -> 1199.0 agg
+    # fps. Default on; hoisted stage-0 keeps the separate path.
+    dual_branch_heads: bool = True
 
     @property
     def attn_dim(self) -> int:

@@ -93,22 +93,54 @@ class MergedBranchHeads(nn.Module):
     num_fc: int = 2
     final_init_std: float = 1e-3
     dtype: jnp.dtype = jnp.float32
+    # first-layer input width; None = hidden (true for every use: the
+    # fir trunk reads [.., d] with hidden d, the sec trunk [.., 2d]
+    # with hidden 2d)
+    in_dim: Optional[int] = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    def setup(self):
         n = len(self.out_dims)
         h = self.hidden
-        din = x.shape[-1]
+        din = self.in_dim if self.in_dim is not None else h
         stack_init = nn.initializers.variance_scaling(
             1.0, "fan_in", "truncated_normal", in_axis=-2, out_axis=-1,
             batch_axis=0,
         )  # per-head lecun_normal, like nn.Dense's default
-        x = x.astype(self.dtype)
-        y = None
+        fcs = []
         for i in range(self.num_fc):
             d_in = din if i == 0 else h
-            w = self.param(f"fc{i}_kernel", stack_init, (n, d_in, h))
-            b = self.param(f"fc{i}_bias", nn.initializers.zeros, (n, h))
+            fcs.append((
+                self.param(f"fc{i}_kernel", stack_init, (n, d_in, h)),
+                self.param(f"fc{i}_bias", nn.initializers.zeros, (n, h)),
+            ))
+        self.fcs = fcs
+        outs = []
+        for i, d_o in enumerate(self.out_dims):
+            outs.append((
+                self.param(
+                    f"out{i}_kernel",
+                    nn.initializers.normal(self.final_init_std), (h, d_o)),
+                self.param(
+                    f"out{i}_bias",
+                    nn.initializers.normal(self.final_init_std), (d_o,)),
+            ))
+        self.outs = outs
+
+    def collect(self):
+        """(fc (w, b) list, stacked out kernel [n, h, dmax], stacked out
+        bias [n, dmax]) — for the cross-branch dual path (the zero-padded
+        per-head out stack is not a parameter)."""
+        dmax = max(self.out_dims)
+        outs_w = [jnp.pad(w, ((0, 0), (0, dmax - w.shape[-1])))
+                  for w, _ in self.outs]
+        outs_b = [jnp.pad(b, (0, dmax - b.shape[-1]))
+                  for _, b in self.outs]
+        return self.fcs, jnp.stack(outs_w), jnp.stack(outs_b)
+
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        x = x.astype(self.dtype)
+        y = None
+        for i, (w, b) in enumerate(self.fcs):
             if i == 0:
                 y = jnp.einsum(
                     "...ad,ndh->...nah", x, w.astype(self.dtype))
@@ -116,19 +148,9 @@ class MergedBranchHeads(nn.Module):
                 y = jnp.einsum("...nah,nhk->...nak", y, w.astype(self.dtype))
             y = nn.relu(y + b[:, None].astype(self.dtype))
 
-        dmax = max(self.out_dims)
-        outs_w, outs_b = [], []
-        for i, d_o in enumerate(self.out_dims):
-            wo = self.param(
-                f"out{i}_kernel", nn.initializers.normal(self.final_init_std),
-                (h, d_o))
-            bo = self.param(
-                f"out{i}_bias", nn.initializers.normal(self.final_init_std),
-                (d_o,))
-            outs_w.append(jnp.pad(wo, ((0, 0), (0, dmax - d_o))))
-            outs_b.append(jnp.pad(bo, (0, dmax - d_o)))
-        w_out = jnp.stack(outs_w).astype(self.dtype)  # [n, h, dmax]
-        b_out = jnp.stack(outs_b).astype(self.dtype)  # [n, dmax]
+        _, w_out, b_out = self.collect()
+        w_out = w_out.astype(self.dtype)  # [n, h, dmax]
+        b_out = b_out.astype(self.dtype)  # [n, dmax]
         out = jnp.einsum("...nah,nhd->...nad", y, w_out) + b_out[:, None]
         out = out.astype(jnp.float32)
         return tuple(
@@ -323,6 +345,67 @@ class LaneHead(nn.Module):
             reg_geo, offsets = reg[..., :n_geo], reg[..., n_geo:]
         return self._assemble(priors, cls_logits, reg_geo, offsets)
 
+    def _dual_branch(self, feat_fir, feat_sec, priors):
+        """BOTH branches' head MLPs as one stack of zero-padded einsums.
+
+        The two trunks differ in width (fir d, sec 2d); padding fir's
+        input/kernels with zeros makes every level a single [2, n, ...]
+        batched contraction with EXACTLY the separate results (padded
+        channels carry exact zeros through relu). Halves the per-stage
+        head-GEMM dispatch count — the B=8 serving tick is dispatch-
+        bound in a ~2.4 ms band of 20-50 us ops (xplane 2026-08-21).
+        """
+        hf_m, hs_m = self.heads_fir, self.heads_sec
+        dt = hf_m.dtype
+        fcs_f, wout_f, bout_f = hf_m.collect()
+        fcs_s, wout_s, bout_s = hs_m.collect()
+        hh = max(hf_m.hidden, hs_m.hidden)
+        d_f, d_s = feat_fir.shape[-1], feat_sec.shape[-1]
+        dd = max(d_f, d_s)
+        x_f = jnp.pad(feat_fir.astype(dt),
+                      ((0, 0), (0, 0), (0, dd - d_f)))
+        x_s = jnp.pad(feat_sec.astype(dt),
+                      ((0, 0), (0, 0), (0, dd - d_s)))
+        y = jnp.stack([x_f, x_s])  # [2, B, A, dd]
+        for i, ((wf, bf), (ws, bs)) in enumerate(zip(fcs_f, fcs_s)):
+            din = dd if i == 0 else hh
+            w = jnp.stack([
+                jnp.pad(wf, ((0, 0), (0, din - wf.shape[1]),
+                             (0, hh - wf.shape[2]))),
+                jnp.pad(ws, ((0, 0), (0, din - ws.shape[1]),
+                             (0, hh - ws.shape[2]))),
+            ]).astype(dt)  # [2, n, din, hh]
+            b = jnp.stack([
+                jnp.pad(bf, ((0, 0), (0, hh - bf.shape[1]))),
+                jnp.pad(bs, ((0, 0), (0, hh - bs.shape[1]))),
+            ]).astype(dt)  # [2, n, hh]
+            if i == 0:
+                y = jnp.einsum("gbad,gndh->gbnah", y, w)
+            else:
+                y = jnp.einsum("gbnah,gnhk->gbnak", y, w)
+            y = nn.relu(y + b[:, None, :, None, :])
+        w_out = jnp.stack([
+            jnp.pad(wout_f, ((0, 0), (0, hh - wout_f.shape[1]), (0, 0))),
+            jnp.pad(wout_s, ((0, 0), (0, hh - wout_s.shape[1]), (0, 0))),
+        ]).astype(dt)  # [2, n, hh, dmax]
+        b_out = jnp.stack([bout_f, bout_s]).astype(dt)  # [2, n, dmax]
+        out = jnp.einsum("gbnah,gnhd->gbnad", y, w_out)
+        out = (out + b_out[:, None, :, None, :]).astype(jnp.float32)
+        dims = hf_m.out_dims
+
+        def split(g):
+            parts = tuple(out[g, :, i, :, : d_o]
+                          for i, d_o in enumerate(dims))
+            if self.cfg.head.separate_offset_head:
+                cls_logits, reg_geo, offsets = parts
+            else:
+                cls_logits, reg = parts
+                n_geo = 3 + self.spec.n_lengths
+                reg_geo, offsets = reg[..., :n_geo], reg[..., n_geo:]
+            return self._assemble(priors, cls_logits, reg_geo, offsets)
+
+        return split(0), split(1)
+
     def precompute_combined(self):
         """Collapsed DynamicConv generator weights, one dict per stage —
         evaluate OUTSIDE the temporal scan and pass back via
@@ -332,11 +415,13 @@ class LaneHead(nn.Module):
         return tuple(dyn.combined_weights() for dyn in self.dyn_heads)
 
     def _stage_local(self, s, level, priors, pro_feat, pos, train, combined,
-                     pre_permuted=False):
+                     pre_permuted=False, compute_fir=True):
         """Frame-local work of one refine stage: pool anchor features,
         router score, DynamicConv, first branch, attention features. No
         memory dependence — for stage 0 (fixed priors) this is evaluable
-        outside the temporal scan (:meth:`stage0_forward`)."""
+        outside the temporal scan (:meth:`stage0_forward`).
+        ``compute_fir=False`` defers the first branch to the cross-branch
+        dual path (:meth:`_dual_branch`)."""
         pooled = self._pool(level, priors)  # [B, A, P, C]
         # router on stop-grad features (RouterV4.py:240)
         diff = self.routers[s](
@@ -346,8 +431,11 @@ class LaneHead(nn.Module):
         decode_feat = self.dyn_heads[s](pro_feat, pooled, combined=combined,
                                         c_major=not train,
                                         pre_permuted=pre_permuted)
-        fir_full, fir_lines = self._branch(decode_feat, self.heads_fir,
-                                           priors)
+        if compute_fir:
+            fir_full, fir_lines = self._branch(decode_feat, self.heads_fir,
+                                               priors)
+        else:
+            fir_full = fir_lines = None
         attn_feat = jnp.concatenate(
             [decode_feat, jnp.broadcast_to(pos[None], decode_feat.shape)],
             axis=-1,
@@ -421,25 +509,32 @@ class LaneHead(nn.Module):
 
         preds_fir, preds_sec, diffs, attn_feats = [], [], [], []
         for s in range(h.refine_layers):
-            if s == 0 and stage0 is not None:
+            hoisted = s == 0 and stage0 is not None
+            dual = h.dual_branch_heads and not hoisted
+            if hoisted:
                 diff, decode_feat, fir_full, fir_lines, attn_feat = stage0
             else:
                 diff, decode_feat, fir_full, fir_lines, attn_feat = (
                     self._stage_local(
                         s, levels[s], priors, pro_feat, pos, train,
                         dyn_combined[s] if dyn_combined else None,
-                        pre_permuted=dyn_pre_permuted))
+                        pre_permuted=dyn_pre_permuted,
+                        compute_fir=not dual))
             diffs.append(diff)
             pro_feat = jax.lax.stop_gradient(decode_feat)  # iterative enhance
-            preds_fir.append(fir_full)
             attn_feats.append(attn_feat)
 
             decoded = self.temporal_decoder(
                 attn_feat, memory_values[:, s], memory_mask,
                 deterministic=not train,
             )
-            sec_full, sec_lines = self._branch(decoded, self.heads_sec,
-                                               priors)
+            if dual:
+                (fir_full, fir_lines), (sec_full, sec_lines) = (
+                    self._dual_branch(decode_feat, decoded, priors))
+            else:
+                sec_full, sec_lines = self._branch(decoded, self.heads_sec,
+                                                   priors)
+            preds_fir.append(fir_full)
             preds_sec.append(sec_full)
 
             if s != h.refine_layers - 1:

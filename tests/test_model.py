@@ -411,3 +411,49 @@ def test_fused_bn_matches_flax():
     gx_fus = jax.grad(lambda xin: loss(v["params"], fus, xin))(xf)
     np.testing.assert_allclose(np.array(gx_ref), np.array(gx_fus),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_dual_branch_heads_equality():
+    """head.dual_branch_heads computes BOTH branch head stacks as one
+    zero-padded batched einsum chain — outputs must equal the separate
+    path on the same params (padding contributes structural zeros)."""
+    cfg = tiny_cfg(window=2)
+    cfg_dual = dataclasses.replace(
+        cfg, head=dataclasses.replace(cfg.head, dual_branch_heads=True))
+    model = PHNet(cfg)
+    model_d = PHNet(cfg_dual)
+    rng = np.random.default_rng(4)
+    frames = jnp.array(rng.normal(size=(1, 3, cfg.img_h, cfg.img_w, 3)),
+                       jnp.float32)
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames)
+    v2 = jax.jit(lambda r, f: model_d.init(r, f, None, train=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, frames)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(v2))
+
+    out_a, _ = jax.jit(lambda v, f: model.apply(v, f, None, train=False))(
+        variables, frames)
+    out_b, _ = jax.jit(lambda v, f: model_d.apply(v, f, None, train=False))(
+        variables, frames)
+    np.testing.assert_allclose(np.array(out_a.kept), np.array(out_b.kept),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.array(out_a.num_kept),
+                                  np.array(out_b.num_kept))
+
+    # train mode too (criterion consumes pred_fir/pred_sec)
+    labels = make_labels(rng, 1, 3, cfg)
+    tr_a = jax.jit(lambda v, f, l, r: model.apply(
+        v, f, l, train=True, rngs={"dropout": r},
+        mutable=["batch_stats"]))(variables, frames, labels,
+                                  jax.random.key(2))[0][0]
+    tr_b = jax.jit(lambda v, f, l, r: model_d.apply(
+        v, f, l, train=True, rngs={"dropout": r},
+        mutable=["batch_stats"]))(variables, frames, labels,
+                                  jax.random.key(2))[0][0]
+    np.testing.assert_allclose(np.array(tr_a.pred_fir),
+                               np.array(tr_b.pred_fir),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.array(tr_a.pred_sec),
+                               np.array(tr_b.pred_sec),
+                               rtol=1e-5, atol=1e-5)
