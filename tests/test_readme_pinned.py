@@ -24,9 +24,20 @@ def _readme():
 
 def test_bench_block_is_current():
     text = _readme()
-    assert readme_perf.apply(text) == text, (
+    src = readme_perf.cited_source(text)
+    assert src is not None, "README block must cite its BENCH source"
+    # the block must be an exact regeneration from the file it cites
+    # (comparing against the cited file, not the latest, keeps the test
+    # green across the driver's end-of-round BENCH_r{N}.json commit)...
+    assert readme_perf.apply(text, source=src) == text, (
         "README performance block is stale — run "
         "`python tools/readme_perf.py --write`")
+    # ...while the freshness bound stops it rotting: the cited file must
+    # be the latest or the immediately preceding capture
+    names = readme_perf.bench_names()
+    assert src in names[-2:], (
+        f"README cites {src}, but newer benches exist: {names[-2:]} — "
+        "run `python tools/readme_perf.py --write`")
 
 
 def test_no_stale_inline_numbers():
