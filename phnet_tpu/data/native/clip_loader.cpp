@@ -143,6 +143,71 @@ int decode_clip_rgb(const char** paths, int n, int cut_px, int out_h,
   return failed;
 }
 
+// decode_clip_rgb, but writing the 2x2 space-to-depth layout the TPU
+// serving stem consumes directly: out is [n, out_h/2, out_w/2, 12] with
+// channel index (y%2)*6 + (x%2)*3 + c. The decoder writes every pixel
+// anyway, so emitting the packed layout is free here but saves the
+// device a thin-channel layout copy per tick (serving ingest
+// "s2d-packed": 1168 vs 1062 agg fps at B=8). out_h, out_w must be
+// even (the resized geometry, e.g. 384x768).
+int decode_clip_rgb_s2d(const char** paths, int n, int cut_px, int out_h,
+                        int out_w, const float* mean, const float* std_,
+                        float* out) {
+  if ((out_h | out_w) & 1) return -1;
+  int failed = 0;
+  const int hw2 = out_w / 2;
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    std::vector<unsigned char> img;
+    int w = 0, h = 0;
+    if (!decode_jpeg(paths[i], img, w, h, 3) || h <= cut_px) {
+#pragma omp critical
+      if (!failed || i + 1 < failed) failed = i + 1;
+      continue;
+    }
+    const unsigned char* src = img.data() +
+        static_cast<size_t>(cut_px) * w * 3;
+    const int src_h = h - cut_px;
+    const double sy = static_cast<double>(src_h) / out_h;
+    const double sx = static_cast<double>(w) / out_w;
+    float* dst = out + static_cast<size_t>(i) * out_h * out_w * 3;
+
+    std::vector<int> x0(out_w), x1(out_w);
+    std::vector<float> wx(out_w);
+    for (int x = 0; x < out_w; ++x) lin_coef(x, sx, w - 1, x0[x], x1[x], wx[x]);
+
+    const float inv255 = 1.0f / 255.0f;
+    float cmul[3], cadd[3];
+    for (int c = 0; c < 3; ++c) {
+      cmul[c] = inv255 / std_[c];
+      cadd[c] = -mean[c] / std_[c];
+    }
+
+    for (int y = 0; y < out_h; ++y) {
+      int y0, y1;
+      float wy;
+      lin_coef(y, sy, src_h - 1, y0, y1, wy);
+      const unsigned char* r0 = src + static_cast<size_t>(y0) * w * 3;
+      const unsigned char* r1 = src + static_cast<size_t>(y1) * w * 3;
+      // s2d destination row: (y/2, *, (y%2)*6 + ...)
+      float* drow = dst + (static_cast<size_t>(y / 2) * hw2) * 12 +
+                    (y & 1) * 6;
+      for (int x = 0; x < out_w; ++x) {
+        const int a = x0[x] * 3, b = x1[x] * 3;
+        const float fx = wx[x];
+        float* dpix = drow + static_cast<size_t>(x / 2) * 12 + (x & 1) * 3;
+        for (int c = 0; c < 3; ++c) {
+          const float top = r0[a + c] + fx * (r0[b + c] - r0[a + c]);
+          const float bot = r1[a + c] + fx * (r1[b + c] - r1[a + c]);
+          const float v = top + wy * (bot - top);
+          dpix[c] = v * cmul[c] + cadd[c];
+        }
+      }
+    }
+  }
+  return failed;
+}
+
 // Decode n grayscale JPEGs (e.g. quantized flow planes), crop + resize,
 // raw byte values as float32 [n, out_h, out_w]. Same return convention.
 int decode_clip_gray(const char** paths, int n, int cut_px, int out_h,

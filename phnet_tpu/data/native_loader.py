@@ -56,6 +56,9 @@ def _load():
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, fp,
     ]
+    if hasattr(lib, "decode_clip_rgb_s2d"):
+        lib.decode_clip_rgb_s2d.restype = ctypes.c_int
+        lib.decode_clip_rgb_s2d.argtypes = lib.decode_clip_rgb.argtypes
     _lib = lib
     return lib
 
@@ -88,6 +91,37 @@ def decode_clip(paths: Sequence[str], cut_px: int, out_h: int, out_w: int,
         mean.ctypes.data_as(fp), std.ctypes.data_as(fp),
         out.ctypes.data_as(fp),
     )
+    if rc:
+        raise IOError(f"failed to decode frame {rc - 1}: {paths[rc - 1]}")
+    return out
+
+
+def decode_clip_s2d(paths: Sequence[str], cut_px: int, out_h: int,
+                    out_w: int,
+                    mean: Optional[np.ndarray] = None,
+                    std: Optional[np.ndarray] = None) -> np.ndarray:
+    """Like :func:`decode_clip` but emitting the 2x2 space-to-depth
+    layout -> [n, out_h/2, out_w/2, 12] f32 — the TPU serving stem's
+    input (``ModelConfig.packed_frames="s2d"``). The decoder writes
+    every pixel anyway, so the packed layout costs nothing here and
+    saves the device a thin-channel layout copy per tick."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "decode_clip_rgb_s2d"):
+        raise RuntimeError("native clip loader unavailable (rebuild: "
+                           "make -C phnet_tpu/data/native)")
+    mean = np.ascontiguousarray(
+        IMAGENET_MEAN if mean is None else mean, np.float32)
+    std = np.ascontiguousarray(
+        IMAGENET_STD if std is None else std, np.float32)
+    out = np.empty((len(paths), out_h // 2, out_w // 2, 12), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.decode_clip_rgb_s2d(
+        _paths_array(paths), len(paths), cut_px, out_h, out_w,
+        mean.ctypes.data_as(fp), std.ctypes.data_as(fp),
+        out.ctypes.data_as(fp),
+    )
+    if rc == -1:
+        raise ValueError("out_h/out_w must be even for s2d decode")
     if rc:
         raise IOError(f"failed to decode frame {rc - 1}: {paths[rc - 1]}")
     return out

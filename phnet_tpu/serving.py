@@ -202,10 +202,15 @@ class StreamingServer:
 
     def _pack_frame(self, frame):
         """Host-side stem layout: 'width' is a free view of the
-        contiguous [H, W, 3] frame; 's2d' is one small transpose copy
-        (production decoders emit this layout directly)."""
+        contiguous [H, W, 3] frame; 's2d' is one small transpose copy —
+        or ZERO cost when the caller already hands the packed layout
+        (the native decoder emits it directly:
+        ``data.native_loader.decode_clip_s2d``)."""
+        f = np.asarray(frame)
+        if f.shape[-2:] == self._packed_hw()[-2:]:
+            return f.reshape(self._packed_hw())  # already packed
         h, w = self.mcfg.img_h, self.mcfg.img_w
-        f = np.asarray(frame).reshape(h, w, 3)
+        f = f.reshape(h, w, 3)
         if self._packed == "s2d":
             return f.reshape(h // 2, 2, w // 2, 2, 3).transpose(
                 0, 2, 1, 3, 4).reshape(h // 2, w // 2, 12)

@@ -220,6 +220,14 @@ def test_native_clip_loader(tmp_path):
     gray = native_loader.decode_clip_gray(paths, 0, 50, 100)
     assert gray.shape == (3, 50, 100)
 
+    # s2d emission == exact 2x2 space-to-depth of the NHWC decode (the
+    # serving ingest layout, ModelConfig.packed_frames="s2d")
+    s2d = native_loader.decode_clip_s2d(paths, cut, h, w)
+    assert s2d.shape == (3, h // 2, w // 2, 12)
+    want = out.reshape(3, h // 2, 2, w // 2, 2, 3).transpose(
+        0, 1, 3, 2, 4, 5).reshape(3, h // 2, w // 2, 12)
+    np.testing.assert_array_equal(s2d, want)
+
     with pytest.raises(IOError):
         native_loader.decode_clip([str(tmp_path / "missing.jpg")], 0, 8, 8)
 
