@@ -39,10 +39,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 # --- XLA reference math (training path; also the equivalence oracle) -----
 def _ln(x, scale, bias, eps=1e-5):
-    """LayerNorm over the (C, P) plane per anchor; x: [T, C, P]."""
+    """LayerNorm over the (C, P) plane per anchor; x: [T, C, P].
+
+    Fast-variance form (var = E[x^2] - E[x]^2, clipped, flax's own
+    default policy): both stat reduces are independent reads of the same
+    input so XLA can fuse them into one multi-output reduction, where
+    ``jnp.var``'s E[(x - mean)^2] forces a second dependent pass.
+    Measured (2026-08-21): a WASH on both the B=8 serving tick (1191.9
+    vs 1199.0 agg fps) and the B=4 train step (215.8 vs 214.2) — XLA
+    evidently already handled the dependent pair well — kept for the
+    structurally independent reads; parity suites green either way."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return y * scale[None] + bias[None]
 
@@ -69,7 +79,8 @@ def _ln_flat(x, scale, bias, eps=1e-5):
     (the reduction runs over the identical element set)."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=1, keepdims=True)
-    var = jnp.var(xf, axis=1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return y * scale[None] + bias[None]
 
