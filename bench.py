@@ -367,19 +367,21 @@ def main():
     serving_agg_fps_b8 = None
     try:
         b_streams = 8
-        # StreamingServer's production ingestion: the host (or the C++
-        # decoder) emits space-to-depth-packed compute-dtype frames, so
-        # the device runs the 4x4/s1 stem with zero layout copies
-        # (measured B=8: 1168.0 agg fps vs 1097.4 width / 1061.7
+        # StreamingServer's production ingestion (one shared resolver —
+        # s2d-packed compute-dtype frames on TPU, zero device layout
+        # copies; measured B=8: 1168.0 agg fps vs 1097.4 width / 1061.7
         # in-graph s2d / 999.4 conv7, 2026-08-21)
-        s_cfg = dataclasses.replace(
-            cfg, packed_frames="s2d",
-            backbone=dataclasses.replace(
-                cfg.backbone, stem="space_to_depth"))
+        from phnet_tpu.serving import (
+            packed_frame_shape, resolve_serving_ingest,
+        )
+
+        s_cfg, s_mode = resolve_serving_ingest(cfg)
         s_model = PHNet(s_cfg)
-        sf = rng.normal(size=(
-            b_streams, 1, cfg.img_h // 2, cfg.img_w // 2, 12))
-        sframes = jnp.asarray(sf.astype(np.float32)).astype(jnp.bfloat16)
+        sf = rng.normal(size=(b_streams, 1) + packed_frame_shape(
+            s_mode, cfg.img_h, cfg.img_w))
+        sframes = jnp.asarray(sf.astype(np.float32))
+        if s_mode:
+            sframes = sframes.astype(jnp.bfloat16)
         s_vars = jax.jit(
             lambda r, f: s_model.init(r, f, None, train=False))(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},

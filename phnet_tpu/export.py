@@ -77,6 +77,13 @@ def export_serving_step(
     current backend). Pass ``("tpu", "cpu")`` to produce one artifact
     that runs on both.
     """
+    from .serving import packed_frame_shape, resolve_serving_ingest
+
+    # the artifact serializes the SAME ingestion StreamingServer runs
+    # (s2d-packed on TPU — zero device layout copies; see
+    # resolve_serving_ingest) so deployed and live ticks are the same
+    # compiled program shape-for-shape
+    cfg, packed = resolve_serving_ingest(cfg)
     model = PHNet(cfg)
     window = memory_window or (cfg.memory.window if cfg.memory.window > 0
                                else 64)
@@ -90,8 +97,10 @@ def export_serving_step(
         return (outs.kept[0], outs.kept_valid[0], outs.num_kept[0],
                 *tuple(new_mem))
 
+    fdt = (jnp.bfloat16 if packed and cfg.compute_dtype == "bfloat16"
+           else jnp.float32)
     frames_spec = jax.ShapeDtypeStruct(
-        (batch, 1, cfg.img_h, cfg.img_w, 3), jnp.float32)
+        (batch, 1) + packed_frame_shape(packed, cfg.img_h, cfg.img_w), fdt)
     var_spec = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
         jax.device_get(variables))
@@ -118,6 +127,9 @@ def export_serving_step(
         "memory_class": mem_cls.__name__,
         "img_h": cfg.img_h,
         "img_w": cfg.img_w,
+        "packed": packed,
+        "frames_dtype": np.dtype(fdt).name if fdt == jnp.float32
+        else "bfloat16",
         "platforms": list(platforms) if platforms else None,
         # decode constants so a loader can rebuild Lane points without
         # the config dataclasses
@@ -158,12 +170,24 @@ class DeployedServer:
         self.memory = self._mem0
 
     def tick(self, frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """frames: [batch, H, W, 3] float32 (one frame per stream).
+        """frames: [batch, H, W, 3] float32 (one frame per stream) — or
+        already in the artifact's packed layout (see manifest "packed").
         Returns (kept [batch, K, dim], valid [batch, K]) as numpy; the
         temporal memory advances internally."""
         if frames.ndim == 3:
             frames = frames[None]
+        packed = self.manifest.get("packed")
+        if packed:
+            from .serving import pack_frame_np
+
+            h, w = self.manifest["img_h"], self.manifest["img_w"]
+            frames = np.stack([pack_frame_np(f, packed, h, w)
+                               for f in frames])
         frames = frames[:, None].astype(np.float32)
+        if self.manifest.get("frames_dtype") == "bfloat16":
+            import jax.numpy as _jnp
+
+            frames = np.asarray(_jnp.asarray(frames, _jnp.bfloat16))
         out = self._exported.call(self.variables, frames, *self.memory)
         kept, valid, _num, *mem = out
         self.memory = tuple(mem)

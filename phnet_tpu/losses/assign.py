@@ -236,6 +236,17 @@ def assign_frame(
     return hungarian_assign(cost, target_valid)
 
 
+def train_assign(cfg, predictions, targets, target_valid, spec):
+    """Training assigner selected by ``ModelConfig.train_assigner``:
+    "hungarian" (parity default) or "dynamic_k" (SimOTA fast path —
+    measured a speed wash and a quality wash at B=4, ROADMAP round 5)."""
+    if cfg.train_assigner == "dynamic_k":
+        return dynamic_k_frame(
+            predictions, targets, target_valid, spec, cfg.img_w, cfg.img_h)
+    return assign_frame(
+        predictions, targets, target_valid, spec, cfg.img_w, cfg.img_h)
+
+
 def dynamic_k_frame(
     predictions: jnp.ndarray,
     targets: jnp.ndarray,

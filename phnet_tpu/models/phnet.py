@@ -31,17 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..losses.assign import assign_frame, dynamic_k_frame
-
-
-def _assign_train(cfg, predictions, targets, target_valid, spec):
-    """Training assigner selected by ``ModelConfig.train_assigner``:
-    "hungarian" (parity default) or "dynamic_k" (SimOTA fast path)."""
-    if cfg.train_assigner == "dynamic_k":
-        return dynamic_k_frame(
-            predictions, targets, target_valid, spec, cfg.img_w, cfg.img_h)
-    return assign_frame(
-        predictions, targets, target_valid, spec, cfg.img_w, cfg.img_h)
+from ..losses.assign import train_assign
 from ..ops.nms import lane_nms, nms_proposals_from_predictions
 from .encoder import Encoder
 from .head import HeadOutputs, LaneHead
@@ -245,7 +235,7 @@ class _FrameStep(nn.Module):
         if self.train_mode:
             target_valid = label[..., 1] == 1.0
             assign_batch = jax.vmap(
-                lambda p, tt, vv: _assign_train(
+                lambda p, tt, vv: train_assign(
                     cfg, p, tt, vv, spec)
             )
             # one batched JV solve for BOTH branches: fir rows ride the same
@@ -335,7 +325,7 @@ class _FrameStep(nn.Module):
             target_valid = label[..., 1] == 1.0
 
             assign_batch = jax.vmap(
-                lambda p, tt, vv: _assign_train(cfg, p, tt, vv, spec)
+                lambda p, tt, vv: train_assign(cfg, p, tt, vv, spec)
             )
             # matched priors of the *second* branch per stage feed the memory
             # (``RouterWithB.forward``: saveMemory(matched_sec, curr_cut));

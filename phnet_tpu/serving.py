@@ -38,6 +38,65 @@ from .models import PHNet
 from .models.phnet import MemoryState, init_memory
 
 
+def pack_frame_np(frame: np.ndarray, mode: str, h: int, w: int):
+    """Host-side stem layout of one [H, W, 3] frame (or a passthrough
+    when it already has the packed shape): 'width' -> [H, W/2, 6] (free
+    view), 's2d' -> [H/2, W/2, 12] (one small transpose copy; the native
+    decoder emits this directly, ``data.native_loader.decode_clip_s2d``)."""
+    shapes = {"s2d": (h // 2, w // 2, 12), "width": (h, w // 2, 6)}
+    target = shapes[mode]
+    f = np.asarray(frame)
+    if f.shape[-2:] == target[-2:]:
+        return f.reshape(target)
+    f = f.reshape(h, w, 3)
+    if mode == "s2d":
+        return f.reshape(h // 2, 2, w // 2, 2, 3).transpose(
+            0, 2, 1, 3, 4).reshape(target)
+    return f.reshape(target)
+
+
+def packed_frame_shape(mode, h, w):
+    """(H', W', C') of a pre-packed frame, or (h, w, 3) for mode None."""
+    return {"s2d": (h // 2, w // 2, 12), "width": (h, w // 2, 6),
+            None: (h, w, 3), "none": (h, w, 3)}[mode]
+
+
+def resolve_serving_ingest(mcfg, packed: bool = True):
+    """The ONE place the serving ingestion layout is decided (used by
+    StreamingServer, export, bench and the sweep): returns
+    ``(model_config, mode)`` where mode is "s2d" / "width" / None.
+
+    On TPU the "auto" stem resolves to s2d-packed ingestion for serving —
+    the host (or the native decoder, ``data.native_loader.
+    decode_clip_s2d``) emits [H/2, W/2, 12] frames and the device runs
+    the 4x4/s1 stem with zero layout copies (measured B=8, 2026-08-21:
+    1168.0 agg fps vs 1097.4 width-packed / 1061.7 in-graph s2d / 999.4
+    conv7). An explicitly pinned stem is honored with its matching
+    packing. ``packed=False`` (the mesh path) only resolves "auto".
+    """
+    import dataclasses as _dc
+
+    bb = mcfg.backbone
+    stem = bb.stem
+    mode = None
+    if bb.kind == "resnet":
+        if stem == "auto":
+            if jax.default_backend() == "tpu":
+                stem = "space_to_depth" if packed else "width_packed"
+                mode = "s2d" if packed else None
+            else:
+                stem = "conv7"
+        elif packed and stem == "width_packed":
+            mode = "width"
+        elif packed and stem == "space_to_depth":
+            mode = "s2d"
+    if stem != bb.stem or mode:
+        mcfg = _dc.replace(
+            mcfg, packed_frames=mode or "none",
+            backbone=_dc.replace(bb, stem=stem))
+    return mcfg, mode
+
+
 class StreamingServer:
     """Batched frame-synchronous server for up to ``max_streams`` videos."""
 
@@ -77,22 +136,14 @@ class StreamingServer:
         # is the best serving ingest, so "auto" resolves to it HERE
         # (training/whole-clip keep width_packed, whose packing is free
         # in-graph). Weights are identical across all stem forms.
-        bb = self.mcfg.backbone
-        stem = bb.stem
-        mode = None
-        if mesh is None and bb.kind == "resnet":
-            if stem == "auto" and jax.default_backend() == "tpu":
-                stem, mode = "space_to_depth", "s2d"
-            elif stem == "width_packed":
-                mode = "width"
-            elif stem == "space_to_depth":
-                mode = "s2d"
-        self._packed = mode
-        if mode:
-            import dataclasses as _dc
-            self.mcfg = _dc.replace(
-                self.mcfg, packed_frames=mode,
-                backbone=_dc.replace(self.mcfg.backbone, stem=stem))
+        if mesh is not None and self.mcfg.packed_frames != "none":
+            # the mesh path assembles full unpacked [S,1,H,W,3] batches;
+            # a packed model would read garbage channel counts from them
+            raise ValueError(
+                "packed_frames is not supported with a mesh — pass an "
+                "unpacked config (the mesh path ships full batches)")
+        self.mcfg, self._packed = resolve_serving_ingest(
+            self.mcfg, packed=mesh is None)
         self.model = PHNet(self.mcfg)
         self.max_streams = max_streams
         self.mesh = mesh
@@ -195,26 +246,12 @@ class StreamingServer:
 
     def _packed_hw(self):
         """(H', W', C') of a pre-packed frame for the active mode."""
-        h, w = self.mcfg.img_h, self.mcfg.img_w
-        if self._packed == "s2d":
-            return (h // 2, w // 2, 12)
-        return (h, w // 2, 6)
+        return packed_frame_shape(
+            self._packed, self.mcfg.img_h, self.mcfg.img_w)
 
     def _pack_frame(self, frame):
-        """Host-side stem layout: 'width' is a free view of the
-        contiguous [H, W, 3] frame; 's2d' is one small transpose copy —
-        or ZERO cost when the caller already hands the packed layout
-        (the native decoder emits it directly:
-        ``data.native_loader.decode_clip_s2d``)."""
-        f = np.asarray(frame)
-        if f.shape[-2:] == self._packed_hw()[-2:]:
-            return f.reshape(self._packed_hw())  # already packed
-        h, w = self.mcfg.img_h, self.mcfg.img_w
-        f = f.reshape(h, w, 3)
-        if self._packed == "s2d":
-            return f.reshape(h // 2, 2, w // 2, 2, 3).transpose(
-                0, 2, 1, 3, 4).reshape(h // 2, w // 2, 12)
-        return f.reshape(h, w // 2, 6)
+        return pack_frame_np(frame, self._packed,
+                             self.mcfg.img_h, self.mcfg.img_w)
 
     def update_variables(self, variables, _device_put: bool = True):
         """Swap the served weights (checkpoint hot-reload). Rebuilds the

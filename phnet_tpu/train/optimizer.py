@@ -175,10 +175,12 @@ def fused_adamw(
             "nu": jnp.zeros_like(zeros),
             # constants live in the state so they are built ONCE at init
             # (in-graph per-step rebuilds of the 150-leaf concat neither
-            # fold nor fuse — measured as full extra passes)
+            # fold nor fuse — measured as full extra passes); bool, not
+            # f32 — this matrix is device-resident for the whole run AND
+            # checkpointed with the opt_state (f32 would add ~334 MB to
+            # both for an 83.5M-param model)
             "mask": _flatten(jax.tree.map(
-                lambda p: jnp.full(p.shape, float(p.ndim > 1),
-                                   jnp.float32), params)),
+                lambda p: jnp.full(p.shape, p.ndim > 1, bool), params)),
         }
         if lr_scales is not None:
             state["scales"] = _flatten(jax.tree.map(
@@ -202,7 +204,7 @@ def fused_adamw(
         mu_hat = mu / (1.0 - b1**c)
         nu_hat = nu / (1.0 - b2**c)
         upd = mu_hat / (jnp.sqrt(nu_hat) + eps)
-        upd = upd + weight_decay * state["mask"] * p
+        upd = upd + weight_decay * state["mask"].astype(jnp.float32) * p
         upd = upd * (-schedule(state["count"]))
         if "scales" in state:
             upd = upd * state["scales"]

@@ -127,3 +127,36 @@ def test_deployed_variables_roundtrip(exported):
                                 sorted(flat_b, key=lambda kv: str(kv[0]))):
         assert str(pa) == str(pb)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_packed_ingest_matches_live(tmp_path):
+    """Exporting with a packed-capable stem serializes the PACKED tick
+    (manifest records it); DeployedServer packs raw [H, W, 3] frames
+    host-side and matches the live (also packed) StreamingServer."""
+    import dataclasses
+
+    mcfg = dataclasses.replace(
+        tiny_cfg(window=4), backbone=dataclasses.replace(
+            tiny_cfg(window=4).backbone, stem="space_to_depth"))
+    cfg = Config(model=mcfg)
+    model = PHNet(mcfg)
+    frames0 = jnp.zeros((1, 1, mcfg.img_h, mcfg.img_w, 3))
+    variables = jax.jit(lambda r, f: model.init(r, f, None, train=False))(
+        {"params": jax.random.key(11), "dropout": jax.random.key(12)},
+        frames0)
+    art = str(tmp_path / "art_packed")
+    export_serving_step(mcfg, variables, art, batch=1, memory_window=4)
+    dep = DeployedServer(art)
+    assert dep.manifest["packed"] == "s2d"
+
+    server = StreamingServer(cfg, variables, max_streams=1, memory_window=4)
+    assert server._packed == "s2d"
+    sid = server.attach()
+    clip = synthetic_clip(seed=31, t=3, img_h=mcfg.img_h, img_w=mcfg.img_w,
+                          spec=mcfg.lane, max_lanes=mcfg.max_lanes)
+    for t in range(3):
+        kept_d, valid_d = dep.tick(clip["frames"][t][None])
+        kept_s, valid_s, _ = server.step_async({sid: clip["frames"][t]})
+        np.testing.assert_array_equal(valid_d, np.array(valid_s))
+        np.testing.assert_allclose(kept_d, np.array(kept_s),
+                                   rtol=1e-5, atol=1e-5)

@@ -417,9 +417,13 @@ def test_dual_branch_heads_equality():
     """head.dual_branch_heads computes BOTH branch head stacks as one
     zero-padded batched einsum chain — outputs must equal the separate
     path on the same params (padding contributes structural zeros)."""
-    cfg = tiny_cfg(window=2)
+    base = tiny_cfg(window=2)
+    # pin BOTH sides explicitly: dual_branch_heads defaults True, so a
+    # "default vs True" comparison would be vacuous
+    cfg = dataclasses.replace(
+        base, head=dataclasses.replace(base.head, dual_branch_heads=False))
     cfg_dual = dataclasses.replace(
-        cfg, head=dataclasses.replace(cfg.head, dual_branch_heads=True))
+        base, head=dataclasses.replace(base.head, dual_branch_heads=True))
     model = PHNet(cfg)
     model_d = PHNet(cfg_dual)
     rng = np.random.default_rng(4)

@@ -60,9 +60,9 @@ def main(argv=None):
                     default="plane",
                     help="A/B the router chain layout (flat = [T, C*P], "
                          "full lane utilization)")
-    ap.add_argument("--dual-heads", action="store_true",
-                    help="A/B cross-branch head-GEMM batching "
-                         "(HeadConfig.dual_branch_heads)")
+    ap.add_argument("--dual-heads", choices=("on", "off"), default=None,
+                    help="A/B cross-branch head-GEMM batching; default "
+                         "follows HeadConfig.dual_branch_heads (on)")
     ap.add_argument("--packed", choices=("width", "s2d"), default=None,
                     help="pre-packed frame ingestion: 'width' = "
                          "[B,1,H,W/2,6] (free host reshape), 's2d' = "
@@ -89,8 +89,10 @@ def main(argv=None):
     head = dataclasses.replace(base.model.head,
                                router_pallas=args.router_pallas,
                                router_chain_bf16=args.router_bf16,
-                               router_chain_impl=args.router_chain,
-                               dual_branch_heads=args.dual_heads)
+                               router_chain_impl=args.router_chain)
+    if args.dual_heads is not None:
+        head = dataclasses.replace(
+            head, dual_branch_heads=args.dual_heads == "on")
     cfg = dataclasses.replace(base.model, compute_dtype="bfloat16",
                               quantize=args.quantize, head=head)
     if args.stem:
@@ -166,6 +168,9 @@ def main(argv=None):
             "router_pallas": args.router_pallas,
             "router_bf16": args.router_bf16,
             "router_chain": args.router_chain,
+            "dual_heads": cfg.head.dual_branch_heads,
+            "stem": cfg.backbone.stem,
+            "packed": cfg.packed_frames,
         }), flush=True)
         if args.trace:
             from phnet_tpu.utils.xplane import op_report
