@@ -392,8 +392,15 @@ def main():
                                       initial_memory=mem)
             return outs.kept, outs.num_kept, mem
 
-        stick = jax.jit(s_chunk, donate_argnums=(2,))
         smem = init_memory(cfg, b_streams, video_frames)
+        # hold the frame batch in the compiler's preferred entry layout
+        # (kills the per-tick %copy.1000 relayout: B=8 1193 -> 1248 agg
+        # fps, tick 6.71 -> 6.41 ms, traced sweep 2026-08-21; pinning
+        # variables+memory too measured NEGATIVE at 1203 — frames only)
+        from phnet_tpu.serving import compile_with_pinned_input
+
+        stick, (_, sframes, smem) = compile_with_pinned_input(
+            s_chunk, (s_vars, sframes, smem), 1, donate_argnums=(2,))
         kept, nk, smem = stick(s_vars, sframes, smem)
         np.array(nk)  # compile + warm
         kept, nk, smem = stick(s_vars, sframes, smem)

@@ -2,12 +2,13 @@
 
 Production deployment runs many camera streams per chip. A single stream
 ticks at ~1.9 ms (~515 fps) while batching raises aggregate throughput to
-~822 fps at B=4 and **~1059 fps at B=8** on a v5e (device-resident
-inputs, round-4: one-hot memory write + auto space-to-depth stem) — so
-the server packs up to ``max_streams`` live videos into one batched
-jitted step and keeps a per-stream temporal memory slot (the fixed-shape
-ring buffer makes per-stream reset a pure masked write: no recompilation
-when streams attach/detach mid-flight).
+~822 fps at B=4 and **~1248 fps at B=8** on a v5e (device-resident
+inputs; round-4: one-hot memory write + auto space-to-depth stem;
+round-5: s2d-packed ingestion + dual-branch head batching + pinned
+frame-buffer layout) — so the server packs up to ``max_streams`` live
+videos into one batched jitted step and keeps a per-stream temporal
+memory slot (the fixed-shape ring buffer makes per-stream reset a pure
+masked write: no recompilation when streams attach/detach mid-flight).
 
 Per-chip stream count has a measured knee at **B=8** (see
 ``tools/serving_sweep.py``; round-4 sweep: B=8/12/16 →
@@ -97,6 +98,141 @@ def resolve_serving_ingest(mcfg, packed: bool = True):
     return mcfg, mode
 
 
+def compile_with_pinned_input(fn, args, argnums, donate_argnums=()):
+    """Compile ``fn`` with an AUTO-layout Format on ``args[i]`` for each
+    ``i`` in ``argnums`` and return ``(executable, new_args)`` — the
+    pinned entries re-laid into the compiler's preferred device layout.
+
+    XLA's preferred entry layout for a conv input is not the default
+    row-major one (v5e: the packed frame batch wants
+    ``major_to_minor=(1,2,3,0,4)``), so a default-layout device-resident
+    input pays a relayout copy INSIDE every step (%copy.1000, 0.27 ms of
+    the 6.63 ms B=8 serving tick, xplane 2026-08-21). Pinning moves the
+    buffer itself into the preferred layout once. Falls back to plain
+    ``jax.jit`` on backends without layout support; the compiled
+    executable also accepts default-layout arrays (it relayouts on
+    call), so callers never have to special-case.
+
+    Re-laying an existing array is surprisingly treacherous on jax 0.9
+    (see ``relayout``): both ``jax.device_put(x, fmt)`` and trivial
+    jitted identities can take fast paths that match on sharding only
+    and silently return the input's EXISTING layout, which the pinned
+    executable then rejects (or re-copies) at call time. ``relayout``
+    therefore compiles a layout-UNIQUE program (a transpose pair around
+    an optimization_barrier whose jaxpr encodes the target
+    major_to_minor, so no cache entry compiled for another layout can
+    ever be returned for it) and verifies the executable's reported
+    output formats before trusting it."""
+    import jax as _jax
+
+    if isinstance(argnums, int):
+        argnums = (argnums,)
+    try:
+        from jax.experimental.layout import Format, Layout
+
+        in_sh = [None] * len(args)
+        for i in argnums:
+            in_sh[i] = Format(Layout.AUTO)
+        comp = _jax.jit(
+            fn, donate_argnums=donate_argnums,
+            in_shardings=tuple(in_sh)).lower(*args).compile()
+        fmts = comp.input_formats[0]
+        args = list(args)
+        for i in argnums:
+            args[i] = relayout(args[i], fmts[i])
+        return comp, tuple(args)
+    except Exception:  # pragma: no cover - backend-dependent
+        return (_jax.jit(fn, donate_argnums=donate_argnums), tuple(args))
+
+
+def _layout_unique_identity(x, fmt, salt):
+    """An identity on ``x`` whose jaxpr encodes ``fmt``'s major_to_minor
+    (transpose there and back around a barrier) AND a caller-supplied
+    ``salt`` constant. The transposes keep compiled artifacts for
+    different target layouts from aliasing each other; the barrier keeps
+    jit's trivial-computation fast path (which ignores requested output
+    layouts entirely) from engaging; and the salt forces a FRESH compile
+    per build: an executable loaded from the persistent compilation
+    cache reports the right ``output_formats`` itself, but the runtime
+    arrays it produces carry DEFAULT layout metadata (observed live on
+    jax 0.9, 2026-08-21), which the pinned step then rejects. A fresh
+    compile costs ~0.7 s once per server/bench construction."""
+    perm = tuple(int(d) for d in fmt.layout.major_to_minor)
+    inv = tuple(int(i) for i in np.argsort(perm))
+    y, _ = jax.lax.optimization_barrier(
+        (jnp.transpose(x, perm), jnp.int32(salt)))
+    return jnp.transpose(y, inv)
+
+
+def _fresh_salt():
+    import uuid
+
+    return int(uuid.uuid4()) & 0x7FFFFFFF
+
+
+def relayout(tree, fmts):
+    """Re-lay a pytree of device arrays into ``fmts`` (a matching tree
+    of ``Format``s) — see compile_with_pinned_input's docstring for why
+    neither ``device_put`` nor a plain jitted identity can do this.
+    Verifies the compiled executable's output formats AND the produced
+    arrays' formats; raises on mismatch rather than silently serving a
+    mislaid buffer."""
+    salt = _fresh_salt()
+    comp = jax.jit(
+        lambda t: jax.tree_util.tree_map(
+            lambda x, f: _layout_unique_identity(x, f, salt), t, fmts),
+        out_shardings=fmts).lower(tree).compile()
+    got_exec = jax.tree_util.tree_map(
+        lambda f: f.layout, comp.output_formats)
+    want = jax.tree_util.tree_map(lambda f: f.layout, fmts)
+    if got_exec != want:
+        raise RuntimeError(
+            f"relayout compiled to {got_exec}, wanted {want}")
+    out = comp(tree)
+    got = jax.tree_util.tree_map(lambda a: a.format.layout, out)
+    if got != want:
+        raise RuntimeError(f"relayout produced {got}, wanted {want}")
+    return out
+
+
+class _PinnedScatter:
+    """Frame-buffer scatter whose output stays in the pinned layout.
+
+    Each rows-shape variant (bounded: rows are padded to powers of two
+    ≤ max_streams) is lowered and compiled explicitly with the target
+    Format on the donated buffer in AND out, the scatter body wrapped
+    in ``_layout_unique_identity`` so the compiled artifact's cache
+    identity encodes the layout, and the executable's reported output
+    format verified before first use."""
+
+    def __init__(self, fn, fmt):
+        self._fn, self._fmt, self._compiled = fn, fmt, {}
+
+    def __call__(self, buf, rows, idx):
+        key = (rows.shape, str(rows.dtype))
+        comp = self._compiled.get(key)
+        if comp is None:
+            fmt = self._fmt
+            salt = _fresh_salt()
+
+            def fn(b, r, i):
+                return _layout_unique_identity(self._fn(b, r, i), fmt,
+                                               salt)
+
+            comp = jax.jit(
+                fn, donate_argnums=(0,),
+                in_shardings=(fmt, None, None), out_shardings=fmt,
+            ).lower(buf, rows, idx).compile()
+            got = comp.output_formats
+            got = got[0] if isinstance(got, (tuple, list)) else got
+            if got.layout != fmt.layout:
+                raise RuntimeError(
+                    f"pinned scatter compiled to {got.layout}, "
+                    f"wanted {fmt.layout}")
+            self._compiled[key] = comp
+        return comp(buf, rows, idx)
+
+
 class StreamingServer:
     """Batched frame-synchronous server for up to ``max_streams`` videos."""
 
@@ -107,6 +243,7 @@ class StreamingServer:
         max_streams: int = 4,
         memory_window: Optional[int] = None,
         mesh=None,
+        pin_frame_layout: Optional[bool] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — streams are sharded
         over the ``data`` axis (params replicated), scaling aggregate
@@ -194,10 +331,25 @@ class StreamingServer:
                 fshape = (max_streams, 1, self.mcfg.img_h,
                           self.mcfg.img_w, 3)
             self._frames_dev = jnp.zeros(fshape, fdt)
-            self._scatter = jax.jit(
-                lambda buf, rows, sids: buf.at[sids].set(
-                    rows.astype(buf.dtype)),
-                donate_argnums=(0,))
+            self._scatter_fn = lambda buf, rows, sids: buf.at[sids].set(
+                rows.astype(buf.dtype))
+            self._scatter = jax.jit(self._scatter_fn, donate_argnums=(0,))
+        # frame-buffer layout pinning: XLA's preferred entry layout for
+        # the stem conv is NOT the default row-major one (on a v5e it
+        # wants major_to_minor=(1,2,3,0,4) — stream dim second-minor,
+        # channels minor), so a default-layout persistent frame buffer
+        # pays a thin-channel relayout copy at the top of every tick
+        # (%copy.1000, 0.27 ms of the 6.63 ms B=8 tick, xplane
+        # 2026-08-21). Compiling the step with an AUTO input Format,
+        # holding ``_frames_dev`` in the layout the compiler asks for,
+        # and making the scatter emit that same layout deletes the copy:
+        # the scatter's write pass does the tiling for free. Lazy (first
+        # tick) because it needs the live (variables, memory, dyn)
+        # structures; any failure falls back to the unpinned jit path.
+        self._pin_frame_layout = (
+            pin_frame_layout if pin_frame_layout is not None
+            else (mesh is None and jax.default_backend() == "tpu"))
+        self._pinned = None  # (structure_key, compiled_executable)
         self.active = np.zeros(max_streams, bool)
         # original-image decode geometry per stream
         self.stream_geo: List[Tuple[int, int]] = [(0, 0)] * max_streams
@@ -242,7 +394,44 @@ class StreamingServer:
                     mask=out_mem.mask.at[:, pos].set(hole))
             return outs.kept[0], outs.kept_valid[0], out_mem
 
+        self._step_fn = step
         self._step = jax.jit(step, donate_argnums=(2,))
+
+    def _ensure_pinned(self):
+        """Build (or refresh) the layout-pinned compiled step for the
+        current (variables, memory, dyn) structures. Returns the
+        executable to dispatch this tick — the pinned one when valid,
+        else the plain jit. See the ``pin_frame_layout`` comment in
+        ``__init__`` for the why; a weight hot-swap that changes the
+        param structure just re-pins on the next tick."""
+        if not self._pin_frame_layout or self.mesh is not None:
+            return self._step
+        key = (jax.tree_util.tree_structure(self.variables),
+               jax.tree_util.tree_structure(self.memory),
+               jax.tree_util.tree_structure(self._dyn))
+        if self._pinned is not None and self._pinned[0] == key:
+            return self._pinned[1]
+        try:
+            from jax.experimental.layout import Format, Layout
+
+            jitted = jax.jit(
+                self._step_fn, donate_argnums=(2,),
+                in_shardings=(None, Format(Layout.AUTO), None, None,
+                              None))
+            comp = jitted.lower(
+                self.variables, self._frames_dev, self.memory,
+                jnp.zeros(self.max_streams, bool), self._dyn).compile()
+            fmt = comp.input_formats[0][1]
+            self._frames_dev = relayout(self._frames_dev, fmt)
+            self._scatter = _PinnedScatter(self._scatter_fn, fmt)
+            self._pinned = (key, comp)
+            return comp
+        except Exception:  # pragma: no cover - backend-dependent
+            # e.g. a backend without layout support: serve unpinned
+            # (the compiled step accepts default-layout buffers too)
+            self._pin_frame_layout = False
+            self._pinned = None
+            return self._step
 
     def _packed_hw(self):
         """(H', W', C') of a pre-packed frame for the active mode."""
@@ -354,6 +543,7 @@ class StreamingServer:
         t0 = time.perf_counter()
         for sid in frames:
             assert self.active[sid], f"stream {sid} not attached"
+        step_exec = self._step
         if self.mesh is not None:
             batch = np.zeros(
                 (self.max_streams, 1, mcfg.img_h, mcfg.img_w, 3), np.float32)
@@ -361,6 +551,10 @@ class StreamingServer:
                 batch[sid, 0] = frame
             batch = jax.device_put(batch, self._bsh)
         else:
+            # pin the frame-buffer layout (and the scatter feeding it)
+            # BEFORE any scatter this tick — the pinned compile decides
+            # the buffer's device layout
+            step_exec = self._ensure_pinned()
             if frames:
                 sids = list(frames.keys())
                 k = len(sids)
@@ -387,7 +581,7 @@ class StreamingServer:
             row_mask[sid] = True
         row_mask = (jax.device_put(row_mask, self._bsh)
                     if self.mesh is not None else jnp.asarray(row_mask))
-        kept, valid, self.memory = self._step(
+        kept, valid, self.memory = step_exec(
             self.variables, batch, self.memory, row_mask, self._dyn)
         self._tick_wall.append(time.perf_counter() - t0)
         self._n_ticks += 1

@@ -347,3 +347,33 @@ def test_streaming_server_s2d_packed_parity(server_setup):
         assert len(lanes_s) == len(lanes_w)
         for a, b in zip(lanes_s, lanes_w):
             np.testing.assert_allclose(a.points, b.points, atol=1e-4)
+
+
+def test_pin_frame_layout_parity(server_setup):
+    """``pin_frame_layout=True`` (compiled step with an AUTO input
+    Format, frame buffer + scatter held in the compiler's preferred
+    layout — kills the per-tick relayout copy on TPU) must serve
+    identical lanes to the default unpinned path, including across a
+    weight hot-swap (which re-pins) and a skipped tick."""
+    cfg, variables = server_setup
+    clip = synthetic_clip(seed=31, t=4, img_h=cfg.model.img_h,
+                          img_w=cfg.model.img_w, spec=cfg.model.lane,
+                          max_lanes=cfg.model.max_lanes)
+
+    def serve(pin):
+        server = StreamingServer(cfg, variables, max_streams=2,
+                                 memory_window=4, pin_frame_layout=pin)
+        sid = server.attach()
+        out = []
+        for t in range(3):
+            out.append(server.step({sid: clip["frames"][t]})[sid])
+        server.step({})  # skipped tick exercises the pinned donate path
+        server.update_variables(variables)  # same structure: key reuse
+        out.append(server.step({sid: clip["frames"][3]})[sid])
+        return out
+
+    ref, pinned = serve(False), serve(True)
+    for lanes_a, lanes_b in zip(ref, pinned):
+        assert len(lanes_a) == len(lanes_b)
+        for a, b in zip(lanes_a, lanes_b):
+            np.testing.assert_allclose(a.points, b.points, atol=1e-4)

@@ -68,6 +68,12 @@ def main(argv=None):
                          "[B,1,H,W/2,6] (free host reshape), 's2d' = "
                          "[B,1,H/2,W/2,12] (loader-emitted space-to-"
                          "depth); frames arrive in compute dtype")
+    ap.add_argument("--pin-layout", choices=("on", "off", "all"),
+                    default="on",
+                    help="hold the frame batch in the compiler's "
+                         "preferred entry layout (kills the per-tick "
+                         "relayout copy; 'all' also pins variables + "
+                         "memory; 'off' for A/B)")
     ap.add_argument("--trace", default=None,
                     help="write a jax.profiler xplane trace of the timed "
                          "ticks under DIR/b<N> and print the per-op device "
@@ -140,8 +146,17 @@ def main(argv=None):
         else:
             frames = jnp.asarray(rng.normal(
                 size=(b, 1, cfg.img_h, cfg.img_w, 3)).astype(np.float32))
-        step = jax.jit(tick, donate_argnums=(2,))
         mem = init_memory(cfg, b, args.window)
+        if args.pin_layout != "off":
+            from phnet_tpu.serving import compile_with_pinned_input
+
+            pins = (0, 1, 2) if args.pin_layout == "all" else (1,)
+            step, (pv, frames, mem) = compile_with_pinned_input(
+                tick, (variables, frames, mem), pins,
+                donate_argnums=(2,))
+            variables = pv
+        else:
+            step = jax.jit(tick, donate_argnums=(2,))
         kept, nk, mem = step(variables, frames, mem)
         np.array(nk)  # compile + warm
         kept, nk, mem = step(variables, frames, mem)
@@ -171,6 +186,7 @@ def main(argv=None):
             "dual_heads": cfg.head.dual_branch_heads,
             "stem": cfg.backbone.stem,
             "packed": cfg.packed_frames,
+            "pin_layout": args.pin_layout,
         }), flush=True)
         if args.trace:
             from phnet_tpu.utils.xplane import op_report
